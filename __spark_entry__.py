@@ -15,8 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    End-to-end main-content extraction: synthesize the CC-style page table
+    from the documents fixture, latest-snapshot dedup, HTML-parse + block
+    scoring + boilerplate strip inside one mapInPandas stage, return the
+    extracted table (url, title, text, spans stats).
+    """
+    from my_ocr_spark.plans.flagship import flagship_extract
+
+    return flagship_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

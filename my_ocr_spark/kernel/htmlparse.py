@@ -1,0 +1,218 @@
+"""Lightweight deterministic HTML → block-table parser (stdlib html.parser).
+
+Capability analog of the reference's record-materialization + dense-feature
+stage: the reference loads an image payload and derives per-region feature
+maps (``mmocr/datasets/pipelines/loading.py:84-117``, target generators
+``mmocr/datasets/pipelines/textdet_targets/*.py``). Here the payload is raw
+HTML bytes and the "feature map" is a flat table of text blocks with the
+features boilerplate classification needs: char count, link-char count,
+tag path, depth, density.
+
+Design constraints (north_rule): deterministic, pure stdlib, tolerant of
+malformed markup (never raises on arbitrary bytes — the analog of the
+reference's broken-record skip loop, ``mmocr/datasets/base_dataset.py:128-149``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from html import unescape  # noqa: F401  (HTMLParser already unescapes refs)
+
+# Elements whose subtree is never content.
+_SKIP_SUBTREE = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
+
+# Elements that open a new text block (block-level flow content).
+_BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "aside", "header", "footer",
+    "nav", "li", "ul", "ol", "table", "tr", "td", "th", "pre", "blockquote",
+    "h1", "h2", "h3", "h4", "h5", "h6", "figure", "figcaption", "dl", "dt",
+    "dd", "form", "fieldset", "address", "summary", "details", "body",
+})
+
+# Void elements (never receive end tags).
+_VOID = frozenset({
+    "br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+})
+
+MAX_BLOCKS_PER_DOC = 20000  # skew bound, analog of max_candidates=3000
+# (``mmocr/models/textdet/postprocess/wrapper.py:183``): caps worst-case
+# per-document work on pathological pages.
+
+
+@dataclass
+class Block:
+    """One text block — the unit the scorer classifies keep/drop."""
+
+    block_id: int
+    tag: str              # nearest enclosing block-level tag
+    tag_path: str         # '/'-joined open block tags, e.g. 'body/div/p'
+    depth: int            # DOM depth (all elements, not just block-level)
+    text: str             # whitespace-normalized visible text
+    n_chars: int          # len(text)
+    n_link_chars: int     # chars of text inside <a> subtrees
+    n_words: int
+    n_punct: int          # sentence punctuation . , ; : ! ?
+    is_heading: bool
+    in_nav_footer: bool   # under nav/header/footer/aside ancestry
+
+
+@dataclass
+class _OpenBlock:
+    tag: str
+    tag_path: str
+    depth: int
+    parts: list = field(default_factory=list)       # text fragments
+    link_parts: list = field(default_factory=list)  # fragments inside <a>
+    first_pos: int = -1  # document-order key: set when first text arrives
+
+
+_PUNCT = frozenset(".,;:!?")
+
+
+def _normalize_ws(parts) -> str:
+    return " ".join("".join(parts).split())
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._stack: list[_OpenBlock] = []  # open block elements
+        self._tagstack: list[str] = []      # all open elements
+        self._skip_depth = 0                # inside script/style/...
+        self._link_depth = 0                # inside <a>
+        self._nav_depth = 0                 # inside nav/header/footer/aside
+        self.title_parts: list[str] = []
+        self._in_title = False
+        self._pos = 0  # monotone counter of text fragments seen
+
+    # -- emit ---------------------------------------------------------
+    def _flush(self, ob: _OpenBlock) -> None:
+        if len(self.blocks) >= MAX_BLOCKS_PER_DOC:
+            return
+        text = _normalize_ws(ob.parts)
+        if not text:
+            return
+        link_text = _normalize_ws(ob.link_parts)
+        self.blocks.append(Block(
+            block_id=ob.first_pos,  # temporary: re-numbered in doc order
+            tag=ob.tag,
+            tag_path=ob.tag_path,
+            depth=ob.depth,
+            text=text,
+            n_chars=len(text),
+            n_link_chars=len(link_text),
+            n_words=len(text.split()),
+            n_punct=sum(1 for c in text if c in _PUNCT),
+            is_heading=ob.tag in ("h1", "h2", "h3", "h4", "h5", "h6"),
+            in_nav_footer=("nav" in ob.tag_path.split("/")
+                           or "header" in ob.tag_path.split("/")
+                           or "footer" in ob.tag_path.split("/")
+                           or "aside" in ob.tag_path.split("/")),
+        ))
+
+    # -- tag events ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID:
+            if tag == "br" and self._stack and not self._skip_depth:
+                self._stack[-1].parts.append(" ")
+            return
+        if tag in _SKIP_SUBTREE:
+            self._skip_depth += 1
+            self._tagstack.append(tag)
+            return
+        self._tagstack.append(tag)
+        if tag == "title":
+            self._in_title = True
+        if tag == "a":
+            self._link_depth += 1
+        if tag in ("nav", "header", "footer", "aside"):
+            self._nav_depth += 1
+        if tag in _BLOCK_TAGS:
+            # opening a nested block: flush nothing yet; text accumulated in
+            # the parent before this point stays with the parent.
+            path = "/".join(
+                t for t in self._tagstack if t in _BLOCK_TAGS
+            )
+            self._stack.append(_OpenBlock(tag=tag, tag_path=path,
+                                          depth=len(self._tagstack)))
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        if tag in _SKIP_SUBTREE:
+            if self._skip_depth > 0:
+                self._skip_depth -= 1
+            if self._tagstack and self._tagstack[-1] == tag:
+                self._tagstack.pop()
+            return
+        if tag == "title":
+            self._in_title = False
+        if tag == "a" and self._link_depth > 0:
+            self._link_depth -= 1
+        if tag in ("nav", "header", "footer", "aside") and self._nav_depth > 0:
+            self._nav_depth -= 1
+        # pop tagstack down to the matching open tag (tolerate misnesting)
+        if tag in self._tagstack:
+            while self._tagstack:
+                t = self._tagstack.pop()
+                if t == tag:
+                    break
+        if tag in _BLOCK_TAGS:
+            # close the innermost matching open block, flushing it and any
+            # unclosed deeper blocks (malformed-markup tolerance).
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i].tag == tag:
+                    while len(self._stack) > i:
+                        self._flush(self._stack.pop())
+                    break
+
+    def handle_data(self, data):
+        if self._skip_depth or not data:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if not self._stack:
+            # text before any block tag: synthesize an implicit body block
+            self._stack.append(_OpenBlock(tag="body", tag_path="body",
+                                          depth=len(self._tagstack)))
+        ob = self._stack[-1]
+        if ob.first_pos < 0 and data.strip():
+            ob.first_pos = self._pos
+        self._pos += 1
+        ob.parts.append(data)
+        if self._link_depth > 0:
+            ob.link_parts.append(data)
+
+
+def parse_blocks(html_bytes: bytes) -> tuple[str, list[Block]]:
+    """Parse raw HTML bytes → (title, blocks).
+
+    Never raises: undecodable bytes are replaced, parser errors swallowed
+    (per-row quarantine is handled a level up).
+    """
+    if html_bytes is None:
+        return "", []
+    if isinstance(html_bytes, (bytes, bytearray, memoryview)):
+        text = bytes(html_bytes).decode("utf-8", errors="replace")
+    else:
+        text = str(html_bytes)
+    p = _BlockParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass  # keep whatever blocks were flushed before the error
+    # flush any still-open blocks (unclosed tags at EOF)
+    while p._stack:
+        p._flush(p._stack.pop())
+    # re-number blocks into document order (blocks were emitted at close-tag
+    # time, which is reverse-nesting order; first_pos restores reading order)
+    blocks = sorted(p.blocks, key=lambda b: b.block_id)
+    for i, b in enumerate(blocks):
+        b.block_id = i
+    title = _normalize_ws(p.title_parts)
+    return title, blocks

@@ -1,0 +1,158 @@
+"""Text-analysis kernels for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting, shingling.
+
+Pure stdlib; deterministic. Used by operators/textops.py (Spark side) and
+by the pytest oracles. Hash functions are built on md5 so the DuckDB
+oracle can reproduce them exactly (both engines expose md5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+# --- language ID (n-gram heuristic) ---------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny deterministic stopword/charclass heuristic, NOT a real classifier
+    "zh": (),  # handled by CJK char ratio
+    "de": (" der ", " die ", " und ", " ist ", " nicht ", " das "),
+    "es": (" el ", " la ", " los ", " que ", " es ", " una "),
+    "fr": (" le ", " la ", " les ", " est ", " une ", " dans "),
+    "en": (" the ", " and ", " is ", " of ", " to ", " in "),
+}
+
+_CJK_RE = re.compile(r"[一-龥]")  # same class the reference uses
+# (``mmocr/core/evaluation/ocr_metric.py:48``, ``mmocr/core/visualize.py:559``)
+
+
+def detect_lang(text: str) -> str:
+    if not text:
+        return "und"
+    if len(_CJK_RE.findall(text)) / max(len(text), 1) > 0.05:
+        return "zh"
+    padded = " " + text.lower() + " "
+    best_lang, best_hits = "und", 0
+    for lang in ("de", "es", "fr", "en"):  # fixed order → stable ties
+        hits = sum(padded.count(m) for m in _LANG_MARKERS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits > 0 else "und"
+
+
+# --- quality scoring --------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the and is of to in a for on with as by at from or an be this that it".split()
+)
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+_WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")  # BPE-ish word regex
+
+
+def quality_score(text: str) -> float:
+    """Deterministic [0,1] quality heuristic: length, punctuation presence,
+    stopword ratio, mean word length sanity. Rounded to 6 decimals."""
+    if not text:
+        return 0.0
+    words = text.split()
+    n_words = len(words)
+    if n_words == 0:
+        return 0.0
+    stop_ratio = sum(1 for w in words if w.lower() in _STOPWORDS) / n_words
+    punct = len(_PUNCT_RE.findall(text))
+    mean_wlen = sum(len(w) for w in words) / n_words
+    s = 0.0
+    if n_words >= 20:
+        s += 0.3
+    if punct >= 1:
+        s += 0.2
+    if 0.05 <= stop_ratio <= 0.6:
+        s += 0.3
+    if 2.0 <= mean_wlen <= 12.0:
+        s += 0.2
+    return round(min(s, 1.0), 6)
+
+
+def token_count(text: str) -> int:
+    """BPE-ish token estimate: regex word tokens + leftover non-space chars."""
+    if not text:
+        return 0
+    words = _WORD_RE.findall(text)
+    residue = _WORD_RE.sub("", text)
+    residue_tokens = len([c for c in residue if not c.isspace()])
+    return len(words) + residue_tokens
+
+
+# --- fingerprinting / shingling ---------------------------------------------
+
+
+def normalize_for_fingerprint(text: str) -> str:
+    """lower + strip non-alnum (keeping CJK) + collapse ws — the analog of
+    the reference's word-acc normalization
+    (``mmocr/core/evaluation/ocr_metric.py:48-58``)."""
+    t = text.lower()
+    t = re.sub(r"[^a-z0-9一-龥 ]", "", t)
+    return " ".join(t.split())
+
+
+def fingerprint(text: str) -> str:
+    """md5 hex of the normalized text — portable to the DuckDB oracle."""
+    return hashlib.md5(normalize_for_fingerprint(text).encode("utf-8")).hexdigest()
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Distinct word k-grams of the normalized text, sorted (set semantics)."""
+    words = normalize_for_fingerprint(text).split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return sorted({" ".join(words[i:i + k]) for i in range(len(words) - k + 1)})
+
+
+def _md5_int64(s: str) -> int:
+    """First 8 bytes of md5 as signed int64 (portable across engines)."""
+    h = hashlib.md5(s.encode("utf-8")).digest()
+    v = int.from_bytes(h[:8], "big", signed=True)
+    return v
+
+
+def minhash_signature(shingles: list[str], num_perm: int = 32) -> list[int]:
+    """MinHash signature: min over shingles of md5(seed||shingle) per seed."""
+    if not shingles:
+        return [0] * num_perm
+    sig = []
+    for seed in range(num_perm):
+        prefix = f"{seed}:"
+        sig.append(min(_md5_int64(prefix + sh) for sh in shingles))
+    return sig
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word shingles (weights = 1), md5-based."""
+    shingles = word_shingles(text, k=2)
+    if not shingles:
+        return 0
+    counts = [0] * 64
+    for sh in shingles:
+        h = _md5_int64(sh) & 0xFFFFFFFFFFFFFFFF
+        for b in range(64):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    v = 0
+    for b in range(64):
+        if counts[b] > 0:
+            v |= 1 << b
+    # return as signed int64 for Spark LongType
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def jaccard(a: list[str], b: list[str]) -> float:
+    """Exact Jaccard over two shingle sets (inputs are distinct lists)."""
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the north_rule's execution profile: Arrow-batched pandas UDFs over
+fat binary ``html`` rows, AQE for runtime re-planning / skew mitigation,
+shuffle partition count sized to local cores here but overridable for a real
+cluster via normal spark-submit confs (these are only defaults, set with
+``.config`` so submit-time ``--conf`` wins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "my_ocr_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # engine's answer to host-level skew (SURVEY.md §4 item 1).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDFs; cap batch rows so fat html rows don't blow
+        # executor memory (pages can be multi-MB → 256 rows/batch is ~0.5 GB
+        # worst-case at 2 MB/page; tune down for bigger pages).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # read-side split size: at 100 TB this governs task count; 128 MB
+        # default is fine, set explicitly for visibility.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return b.getOrCreate()
