@@ -27,13 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_extract(spark, "/root/testdata/sf0.001")
 
 
+def _load_registry():
+    # importing the plan modules populates the registry
+    from my_ocr_spark.plans import registry
+    import my_ocr_spark.plans.relational  # noqa: F401
+
+    return registry
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    return dict(_load_registry().QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,4 +51,4 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    return dict(_load_registry().ORACLES)

@@ -1,0 +1,723 @@
+"""Relational operator inventory (SURVEY.md §2.1–2.7) as named queries
+over the driver's TPC-H-ish tables, each with a DuckDB oracle twin.
+
+Scale notes are inline per query: which side broadcasts, where the
+shuffle lands, why the plan survives 100×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_ocr_spark.plans.registry import query, t
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / parsers
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_projection_rename",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS lineno,
+           l_quantity AS qty, l_returnflag AS flag
+    FROM lineitem
+    """,
+)
+def scan_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineStrParser keys/keys_idx projection (parser.py:44-50) =
+    select+rename; Catalyst prunes the parquet scan to 4 columns."""
+    return t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@query(
+    "parse_split_fields",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS w1,
+           split_part(text, ' ', 2) AS w2,
+           split_part(text, ' ', 3) AS w3
+    FROM documents
+    """,
+)
+def parse_split_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineStrParser positional split (parser.py:8-50): split + getItem."""
+    d = t(spark, sf_dir, "documents")
+    s = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.coalesce(s.getItem(0), F.lit("")).alias("w1"),
+        F.coalesce(s.getItem(1), F.lit("")).alias("w2"),
+        F.coalesce(s.getItem(2), F.lit("")).alias("w3"),
+    )
+
+
+@query(
+    "parse_json_fields",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def parse_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineJsonParser (parser.py:98-120): from_json + required-key filter."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.select("event_id", k.alias("k")).filter(F.col("k").isNotNull())
+
+
+@query(
+    "loader_repeat",
+    oracle="""
+    SELECT doc_id, CAST(r.range AS INT) AS copy_idx
+    FROM documents, range(3) AS r
+    """,
+)
+def loader_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader(repeat=n) row multiplication (loader.py:34-50):
+    explode(sequence) — no shuffle, pure narrow fan-out."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("copy_idx"),
+    ).select("doc_id", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@query(
+    "malformed_line_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE length(text) > 0 AND n_chars >= 200 AND lang IS NOT NULL
+    """,
+)
+def malformed_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row drop (loader.py:92-97): predicates push to the scan."""
+    return (t(spark, sf_dir, "documents")
+            .filter((F.length("text") > 0) & (F.col("n_chars") >= 200)
+                    & F.col("lang").isNotNull())
+            .select("doc_id", "n_chars"))
+
+
+@query(
+    "string_strip",
+    oracle="""
+    SELECT doc_id, trim(text) AS stripped,
+           ltrim(text, 'the ') AS lstripped
+    FROM documents
+    """,
+)
+def string_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringStrip (string_util.py:1-35): trim/ltrim with custom chars."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(F.col("text")).alias("stripped"),
+        F.expr("ltrim('the ', text)").alias("lstripped"),
+    )
+
+
+@query(
+    "limit_first_k",
+    oracle="SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 100",
+)
+def limit_first_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select_first_k debug limit (icdar_dataset.py:24-54): ordered LIMIT
+    (order made explicit — Spark relations are unordered)."""
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang").orderBy("doc_id").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "anti_join_ignore",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ignore_pred anti-join (evaluation/utils.py:7-54): predictions not
+    overlapping ignored GT → left_anti. At scale: broadcast the small
+    (ignored) side; here orders is the big side so plain anti join + AQE."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query(
+    "fanout_explode_words",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    u AS (SELECT doc_id,
+                 CAST(unnest(generate_series(1, len(words))) AS INT) AS pos,
+                 unnest(words) AS word
+          FROM w)
+    SELECT doc_id, pos, word, length(word) AS word_len FROM u
+    """,
+)
+def fanout_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Det→recog fan-out (ocr.py:146-201): doc × blocks 1:N explode.
+    Narrow (no shuffle): each word stays in its document's partition."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("pos"),  # ordinality is 1-based
+        "word",
+        F.length("word").alias("word_len"),
+    )
+
+
+@query(
+    "kie_relation_crossjoin",
+    oracle="""
+    SELECT a.c_custkey AS src, b.c_custkey AS dst,
+           a.c_nationkey AS nation,
+           round(a.c_acctbal - b.c_acctbal, 2) AS dbal
+    FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+    WHERE a.c_custkey < b.c_custkey
+    """,
+)
+def kie_relation_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KIE compute_relation (kie_dataset.py:207-218): per-group self
+    cross-join emitting pairwise features. Self-equi-join on the group key
+    keeps the product within groups (never a global cross join)."""
+    c = t(spark, sf_dir, "customer")
+    a = c.alias("a")
+    b = c.alias("b")
+    return (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                   & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+            .select(F.col("a.c_custkey").alias("src"),
+                    F.col("b.c_custkey").alias("dst"),
+                    F.col("a.c_nationkey").alias("nation"),
+                    F.round(F.col("a.c_acctbal") - F.col("b.c_acctbal"), 2)
+                     .alias("dbal")))
+
+
+# interval-overlap "boxes" derived deterministically from the tables: the
+# IoU theta-join / greedy match / hmean pipeline of hmean_iou.py re-expressed
+# relationally (1-D intervals; the 2-D case differs only in arithmetic).
+
+_GT_SQL = """
+    SELECT o_orderkey AS gt_id, o_orderkey % 50 AS img,
+           CAST(o_orderkey % 1000 AS DOUBLE) AS s,
+           CAST(o_orderkey % 1000 + 50 + o_orderkey % 97 AS DOUBLE) AS e
+    FROM orders
+"""
+_PRED_SQL = """
+    SELECT l_orderkey * 10 + l_linenumber AS pred_id,
+           l_orderkey % 50 AS img,
+           CAST(l_partkey % 1000 AS DOUBLE) AS s,
+           CAST(l_partkey % 1000 + 40 + l_suppkey % 89 AS DOUBLE) AS e,
+           round(l_discount * 10, 2) AS score
+    FROM lineitem
+"""
+
+
+def _gt_pred(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    gt = o.select(
+        F.col("o_orderkey").alias("gt_id"),
+        (F.col("o_orderkey") % 50).alias("img"),
+        (F.col("o_orderkey") % 1000).cast("double").alias("s"),
+        (F.col("o_orderkey") % 1000 + 50 + F.col("o_orderkey") % 97)
+        .cast("double").alias("e"),
+    )
+    pred = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pred_id"),
+        (F.col("l_orderkey") % 50).alias("img"),
+        (F.col("l_partkey") % 1000).cast("double").alias("s"),
+        (F.col("l_partkey") % 1000 + 40 + F.col("l_suppkey") % 89)
+        .cast("double").alias("e"),
+        F.round(F.col("l_discount") * 10, 2).alias("score"),
+    )
+    return gt, pred
+
+
+_IOU_MATCH_SQL = f"""
+    WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
+    pairs AS (
+        SELECT gt.gt_id, pred.pred_id, gt.img,
+               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+                 / ((gt.e - gt.s) + (pred.e - pred.s)
+                    - greatest(0.0, least(gt.e, pred.e)
+                               - greatest(gt.s, pred.s))) AS iou
+        FROM gt JOIN pred ON gt.img = pred.img
+        WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
+    )
+    SELECT gt_id, pred_id, img, round(iou, 4) AS iou
+    FROM (SELECT *, row_number() OVER
+                 (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rn
+          FROM pairs WHERE iou > 0.3)
+    WHERE rn = 1
+"""
+
+
+@query("iou_theta_join_match", oracle=_IOU_MATCH_SQL)
+def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hmean_iou GT×pred matching (hmean_iou.py:66-96): theta join on the
+    overlap predicate + per-GT best-IoU assignment via window rank.
+    Scale: the join key is the image id — an equi-join Catalyst shuffles on
+    img; the theta part is a post-join filter. Per-image pair counts are
+    bounded, so no skew blowup."""
+    gt, pred = _gt_pred(spark, sf_dir)
+    p = pred.select("pred_id", F.col("img").alias("pimg"),
+                    F.col("s").alias("ps"), F.col("e").alias("pe"))
+    j = gt.join(p, gt.img == p.pimg)
+    inter = F.greatest(F.lit(0.0),
+                       F.least("e", "pe") - F.greatest("s", "ps"))
+    union = (F.col("e") - F.col("s")) + (F.col("pe") - F.col("ps")) - inter
+    j = (j.filter(F.least("e", "pe") > F.greatest("s", "ps"))
+          .withColumn("iou", inter / union)
+          .filter(F.col("iou") > 0.3))
+    w = Window.partitionBy("gt_id").orderBy(F.desc("iou"), F.asc("pred_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("gt_id", "pred_id", "img",
+                     F.round("iou", 4).alias("iou")))
+
+
+_HMEAN_SQL = f"""
+    WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
+    matched AS ({_IOU_MATCH_SQL}),
+    per_img AS (
+        SELECT g.img,
+               (SELECT count(*) FROM matched m WHERE m.img = g.img) AS hits,
+               count(*) AS n_gt,
+               (SELECT count(*) FROM pred p WHERE p.img = g.img) AS n_pred
+        FROM gt g GROUP BY g.img
+    )
+    SELECT img, hits, n_gt, n_pred,
+           round(CASE WHEN n_pred > 0
+                 THEN CAST(hits AS DOUBLE) / n_pred ELSE 0 END, 4)
+               AS precision_v,
+           round(CAST(hits AS DOUBLE) / n_gt, 4) AS recall_v,
+           round(CASE WHEN hits > 0 THEN
+                 2.0 * (CAST(hits AS DOUBLE) / n_pred)
+                     * (CAST(hits AS DOUBLE) / n_gt)
+                 / (CAST(hits AS DOUBLE) / n_pred
+                    + CAST(hits AS DOUBLE) / n_gt)
+                 ELSE 0 END, 4) AS hmean
+    FROM per_img
+"""
+
+
+@query("hmean_per_image", oracle=_HMEAN_SQL)
+def hmean_per_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval_hmean partial+final aggregate (hmean.py:76-149, utils.py:56-94):
+    per-image hit/gt/pred counts → P/R/hmean. Partial agg is map-side;
+    the final groupBy(img) is one small shuffle."""
+    gt, pred = _gt_pred(spark, sf_dir)
+    matched = iou_theta_join_match(spark, sf_dir)
+    n_gt = gt.groupBy("img").agg(F.count("*").alias("n_gt"))
+    n_pred = pred.groupBy("img").agg(F.count("*").alias("n_pred"))
+    hits = matched.groupBy("img").agg(F.count("*").alias("hits"))
+    per = (n_gt.join(n_pred, "img", "left")
+               .join(hits, "img", "left")
+               .fillna(0, subset=["n_pred", "hits"]))
+    p = F.when(F.col("n_pred") > 0,
+               F.col("hits").cast("double") / F.col("n_pred")).otherwise(0.0)
+    r = F.col("hits").cast("double") / F.col("n_gt")
+    return per.select(
+        "img", "hits", "n_gt", "n_pred",
+        F.round(p, 4).alias("precision_v"),
+        F.round(r, 4).alias("recall_v"),
+        F.round(F.when(F.col("hits") > 0,
+                       2.0 * p * r / (p + r)).otherwise(0.0), 4)
+        .alias("hmean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical partial+final grouped aggregate (TPC-H Q1 shape; the
+    reference's only partial+final agg is the hmean accumulator,
+    hmean.py:76-149). Map-side combine makes the shuffle tiny: 6 groups."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "confusion_macro_f1",
+    oracle="""
+    WITH scored AS (
+        SELECT event_type AS gt,
+               CASE WHEN value > 50 THEN 'purchase' ELSE event_type END AS pred
+        FROM events
+    ),
+    cm AS (SELECT gt, pred, count(*) AS n FROM scored GROUP BY gt, pred),
+    per_class AS (
+        SELECT classes.gt AS cls,
+               CAST(coalesce(tp.n, 0) AS BIGINT) AS tp,
+               CAST(coalesce(gt_tot.n, 0) AS BIGINT) AS n_gt,
+               CAST(coalesce(pred_tot.n, 0) AS BIGINT) AS n_pred
+        FROM (SELECT DISTINCT gt FROM scored) classes
+        LEFT JOIN (SELECT gt, n FROM cm WHERE gt = pred) tp
+               ON tp.gt = classes.gt
+        LEFT JOIN (SELECT gt, sum(n) AS n FROM cm GROUP BY gt) gt_tot
+               ON gt_tot.gt = classes.gt
+        LEFT JOIN (SELECT pred, sum(n) AS n FROM cm GROUP BY pred) pred_tot
+               ON pred_tot.pred = classes.gt
+    )
+    SELECT cls, tp, n_gt, n_pred,
+           round(CASE WHEN n_pred > 0
+                 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0 END, 4) AS precision_v,
+           round(CASE WHEN n_gt > 0
+                 THEN CAST(tp AS DOUBLE)/n_gt ELSE 0 END, 4) AS recall_v,
+           round(CASE WHEN tp > 0 THEN
+                 2.0*(CAST(tp AS DOUBLE)/n_pred)*(CAST(tp AS DOUBLE)/n_gt)
+                 / (CAST(tp AS DOUBLE)/n_pred + CAST(tp AS DOUBLE)/n_gt)
+                 ELSE 0 END, 4) AS f1
+    FROM per_class
+    """,
+)
+def confusion_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_f1_score confusion-matrix aggregate (kie_metric.py:5-28):
+    groupBy(gt, pred) counts → per-class P/R/F1. Three tiny shuffles over
+    a classes-cardinality frame — scale-free."""
+    e = t(spark, sf_dir, "events")
+    scored = e.select(
+        F.col("event_type").alias("gt"),
+        F.when(F.col("value") > 50, F.lit("purchase"))
+         .otherwise(F.col("event_type")).alias("pred"))
+    cm = scored.groupBy("gt", "pred").agg(F.count("*").alias("n"))
+    classes = scored.select(F.col("gt").alias("cls")).distinct()
+    tp = (cm.filter(F.col("gt") == F.col("pred"))
+            .select(F.col("gt").alias("cls"), F.col("n").alias("tp")))
+    gt_tot = cm.groupBy("gt").agg(F.sum("n").alias("n_gt")) \
+               .withColumnRenamed("gt", "cls")
+    pred_tot = cm.groupBy("pred").agg(F.sum("n").alias("n_pred")) \
+                 .withColumnRenamed("pred", "cls")
+    per = (classes.join(tp, "cls", "left").join(gt_tot, "cls", "left")
+                  .join(pred_tot, "cls", "left")
+                  .fillna(0, subset=["tp", "n_gt", "n_pred"]))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp").cast("double") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gt") > 0,
+                 F.col("tp").cast("double") / F.col("n_gt")).otherwise(0.0)
+    return per.select(
+        "cls", "tp", "n_gt", "n_pred",
+        F.round(prec, 4).alias("precision_v"),
+        F.round(rec, 4).alias("recall_v"),
+        F.round(F.when(F.col("tp") > 0,
+                       2.0 * prec * rec / (prec + rec)).otherwise(0.0), 4)
+        .alias("f1"),
+    )
+
+
+@query(
+    "grouped_majority_vote",
+    oracle="""
+    SELECT user_id, event_type AS winner, n
+    FROM (SELECT user_id, event_type, count(*) AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    """,
+)
+def grouped_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegConvertor majority vote (seg.py:54-123): per-group mode with a
+    deterministic tie-break (lexicographic — explicit rank, not mode(),
+    because engines break mode ties differently)."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (counts.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("user_id", F.col("event_type").alias("winner"), "n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / ordered analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (SELECT user_id, event_id,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stitch_boxes_into_lines gap-split re-expressed as sessionization
+    (box_util.py:65-98 → SURVEY.md §2.5): lag + gap flag + running sum.
+    One shuffle on user_id; windows run inside each partition."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.withColumn("session_id", sess.cast("bigint"))
+             .groupBy("user_id", "session_id")
+             .agg(F.count("*").alias("n_events")))
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC,
+                                             l_linenumber) AS rn
+          FROM lineitem)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_candidates per-doc cap (wrapper.py:183,211) / OHEM top-k
+    (db_loss.py:96): rank window + filter. AQE handles group skew."""
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber"))
+    return (li.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 3)
+              .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+@query(
+    "ctc_collapse_repeats",
+    oracle="""
+    SELECT user_id, ts, event_id, event_type
+    FROM (SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+    WHERE prev IS NULL OR event_type <> prev
+    """,
+)
+def ctc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC greedy decode dedup (ctc.py:118-133): drop consecutive repeats
+    in an ordered sequence — lag() != current."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("prev", F.lag("event_type").over(w))
+             .filter(F.col("prev").isNull()
+                     | (F.col("event_type") != F.col("prev")))
+             .select("user_id", "ts", "event_id", "event_type"))
+
+
+@query(
+    "dedup_latest_snapshot",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc_ts latest-snapshot dedup (SURVEY.md §2.3 as-of analog):
+    row_number over (key ORDER BY ts DESC) = 1."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("user_id", "event_id", "ts", "event_type"))
+
+
+@query(
+    "threshold_sweep_argmax",
+    oracle="""
+    WITH thr AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                              AS DOUBLE) AS thr),
+    scored AS (
+        SELECT thr.thr,
+               CAST(sum(CASE WHEN l_discount >= thr.thr * CAST(0.1 AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+        FROM lineitem, thr GROUP BY thr.thr
+    )
+    SELECT thr, keep_rate
+    FROM (SELECT thr, keep_rate,
+                 row_number() OVER (ORDER BY keep_rate DESC, thr) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def threshold_sweep_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval_hmean threshold sweep keep-best (hmean.py:124-145): crossJoin
+    with a 7-row threshold dimension (broadcast — free) + argmax."""
+    li = t(spark, sf_dir, "lineitem")
+    thr = spark.createDataFrame([(x,) for x in
+                                 [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]],
+                                ["thr"])
+    scored = (li.crossJoin(F.broadcast(thr))
+              .groupBy("thr")
+              .agg((F.sum(
+                  F.when(F.col("l_discount") >= F.col("thr") * 0.1, 1)
+                   .otherwise(0)).cast("double") / F.count("*"))
+                   .alias("keep_rate")))
+    w = Window.orderBy(F.desc("keep_rate"), F.asc("thr"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1).select("thr", "keep_rate"))
+
+
+@query(
+    "tta_best_variant",
+    oracle="""
+    WITH variants AS (
+        SELECT doc_id, v.variant,
+               round(n_chars * (CAST(1.0 AS DOUBLE)
+                                - CAST(0.1 AS DOUBLE) * v.variant)
+                     + (doc_id % 7) * v.variant, 4) AS score
+        FROM documents,
+             (SELECT unnest([0, 1, 2]) AS variant) v
+    )
+    SELECT doc_id, CAST(variant AS INT) AS best_variant,
+           score AS best_score
+    FROM (SELECT doc_id, variant, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, variant) AS rn
+          FROM variants)
+    WHERE rn = 1
+    """,
+)
+def tta_best_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiRotateAugOCR + merge_aug_results (test_time_aug.py:8-107,
+    encode_decode_recognizer.py:156-165): explode doc×variant, score each,
+    keep best per doc — explode + window rank, all narrow until the rank."""
+    d = t(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id", "n_chars",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("variant"))
+    v = v.withColumn(
+        "score",
+        F.round(F.col("n_chars") * (1.0 - 0.1 * F.col("variant"))
+                + (F.col("doc_id") % 7) * F.col("variant"), 4))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("variant"))
+    return (v.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("doc_id", F.col("variant").cast("int")
+                     .alias("best_variant"),
+                     F.col("score").alias("best_score")))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "union_provenance",
+    oracle="""
+    SELECT 'customer' AS src, c_custkey AS entity_key, c_name AS name
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS entity_key, s_name AS name
+    FROM supplier
+    """,
+)
+def union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniformConcatDataset UNION ALL with provenance lit column
+    (uniform_concat_dataset.py:7-29; hmean_iou.py:58-61)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"))
+    s = t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"))
+    return c.unionByName(s)
+
+
+@query(
+    "except_singletons",
+    oracle="""
+    SELECT e.user_id, e.event_id FROM events e
+    JOIN (SELECT user_id FROM events
+          GROUP BY user_id HAVING count(*) > 1) k
+      ON e.user_id = k.user_id
+    """,
+)
+def except_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_single EXCEPT-of-singleton-clusters (wrapper.py:656-683):
+    groupBy(key) HAVING count>1, semi-join back. The keep-keys side is
+    small after aggregation → broadcast semi join under AQE."""
+    e = t(spark, sf_dir, "events")
+    keep = (e.groupBy("user_id").agg(F.count("*").alias("n"))
+             .filter(F.col("n") > 1).select("user_id"))
+    return (e.join(F.broadcast(keep), "user_id", "left_semi")
+             .select("user_id", "event_id"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic "sample" (WeightedConcatDataset analog, no RNG)
+# ---------------------------------------------------------------------------
+
+@query(
+    "weighted_union_sample",
+    oracle="""
+    SELECT 'a' AS src, doc_id FROM documents WHERE doc_id % 10 < 3
+    UNION ALL
+    SELECT 'b' AS src, doc_id FROM documents WHERE doc_id % 10 >= 7
+    """,
+)
+def weighted_union_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightedConcatDataset sampling mixture (weighted_concat_dataset.py:
+    6-19) made deterministic: hash/mod-based fractions instead of RNG —
+    the only reproducible sampling at cluster scale."""
+    d = t(spark, sf_dir, "documents")
+    a = (d.filter(F.col("doc_id") % 10 < 3)
+          .select(F.lit("a").alias("src"), "doc_id"))
+    b = (d.filter(F.col("doc_id") % 10 >= 7)
+          .select(F.lit("b").alias("src"), "doc_id"))
+    return a.unionByName(b)
