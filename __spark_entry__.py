@@ -31,6 +31,8 @@ def _load_registry():
     # importing the plan modules populates the registry
     from my_ocr_spark.plans import registry
     import my_ocr_spark.plans.relational  # noqa: F401
+    import my_ocr_spark.plans.textpipe  # noqa: F401
+    import my_ocr_spark.plans.analytics  # noqa: F401
 
     return registry
 

@@ -1,0 +1,194 @@
+"""Deduplication operators for the training-data pipeline:
+
+* exact dedup — md5 fingerprint of normalized text, hash groupBy
+* n-gram Jaccard — exact set similarity via inverted-index self-join
+  (scales: the join key is the shingle, pairs sharing >=1 shingle are a
+  superset of pairs with J>0, so the result is exact, not approximate)
+* MinHash + LSH banding — signature via Arrow-batched pandas UDF over the
+  pure kernel, candidate pairs via band-hash self-join
+* SimHash — 64-bit signature, 4x16-bit band join → hamming<=3 candidates
+
+The reference has no dedup surface; these are the web-scale additions the
+north_star calls for (trained-data pipeline ops), built on the same
+kernel/textstats primitives as the extraction engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from my_ocr_spark.kernel import textstats as ts
+
+# portable normalization used on BOTH engines (same regex in oracle SQL)
+NORMALIZE_RE = "[^a-z0-9一-龥 ]"
+
+
+def normalized_col(col: str):
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(col)), NORMALIZE_RE, ""),
+        " +", " "))
+
+
+def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp) — md5 of normalized text; identical to
+    textstats.fingerprint and to the DuckDB oracle expression."""
+    return df.select(F.col(id_col),
+                     F.md5(normalized_col(text_col)).alias("fp"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup map: fingerprint → group size + representative (min id).
+    One shuffle on the fingerprint; representative choice deterministic."""
+    fp = fingerprint_docs(df, id_col, text_col)
+    return fp.groupBy("fp").agg(
+        F.count("*").alias("n_dups"),
+        F.min(id_col).alias("keep_id"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 1, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs via inverted-index self-join.
+
+    Stages: distinct shingles per doc (narrow) → per-doc set size →
+    self-join on shingle (shuffle keyed by shingle) → count shared →
+    J = shared/(|A|+|B|-shared). Exact because any pair with J>0 shares
+    >=1 shingle and therefore appears in the join. Skewed (very common)
+    shingles are the scale risk: cap them upstream with a document-
+    frequency filter when corpus >> vocab.
+    """
+    words = F.split(normalized_col(text_col), " ")
+    if n == 1:
+        sh = df.select(F.col(id_col).alias("doc"),
+                       F.explode(F.array_distinct(words)).alias("shingle"))
+    else:
+        # n-gram shingles built relationally: posexplode + window concat is
+        # heavier than a transform over the array; use transform+slice
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+        sh = df.select(F.col(id_col).alias("doc"),
+                       F.explode(F.array_distinct(grams)).alias("shingle"))
+    sh = sh.filter(F.col("shingle") != "")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc") < F.col("b.doc")))
+              .groupBy(F.col("a.doc").alias("doc1"),
+                       F.col("b.doc").alias("doc2"))
+              .agg(F.count("*").alias("shared")))
+    s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
+    j = (shared.join(s1, "doc1").join(s2, "doc2")
+         .withColumn("jaccard",
+                     F.col("shared").cast("double")
+                     / (F.col("sz1") + F.col("sz2") - F.col("shared"))))
+    return (j.filter(F.col("jaccard") > threshold)
+             .select("doc1", "doc2", "shared", "sz1", "sz2", "jaccard"))
+
+
+_SIG_SCHEMA = T.StructType([
+    T.StructField("doc", T.LongType(), False),
+    T.StructField("band", T.IntegerType(), False),
+    T.StructField("band_hash", T.LongType(), False),
+])
+
+
+def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 32, bands: int = 8,
+                      shingle_k: int = 3) -> DataFrame:
+    """(doc, band, band_hash) rows — MinHash signature banded for LSH.
+
+    Signature computed in an Arrow-batched pandas UDF over the pure kernel
+    (md5-based, deterministic across executors); banding turns near-dup
+    detection into an equi-join. rows_per_band = num_perm // bands.
+    """
+    rows_per_band = num_perm // bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc": [], "band": [], "band_hash": []}
+            for doc, text in zip(pdf["_id"], pdf["_text"]):
+                sig = ts.minhash_signature(
+                    ts.word_shingles(text or "", k=shingle_k), num_perm)
+                for bi in range(bands):
+                    chunk = tuple(sig[bi * rows_per_band:
+                                      (bi + 1) * rows_per_band])
+                    out["doc"].append(doc)
+                    out["band"].append(bi)
+                    out["band_hash"].append(ts._md5_int64(repr(chunk)))
+            yield pd.DataFrame(out)
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return src.mapInPandas(run, schema=_SIG_SCHEMA)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_perm: int = 32, bands: int = 8,
+                           shingle_k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
+    Shuffle keyed on (band, band_hash); bucket sizes are the skew bound —
+    identical boilerplate pages form huge buckets, capped by dedup of the
+    (band_hash) join with a distinct count guard in production."""
+    rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, shingle_k)
+    a = rows.alias("a")
+    b = rows.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc1"),
+                    F.col("b.doc").alias("doc2"))
+            .distinct())
+
+
+_SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc", T.LongType(), False),
+    T.StructField("simhash", T.LongType(), False),
+])
+
+
+def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc": pdf["_id"],
+                "simhash": [ts.simhash64(t or "") for t in pdf["_text"]],
+            })
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return src.mapInPandas(run, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit bands guarantee any pair with
+    hamming<=3 shares a band (pigeonhole); exact hamming verify after the
+    band join. Classic Manku/Google simhash dedup layout."""
+    sh = simhash_docs(df, id_col, text_col)
+    banded = sh.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftright("simhash", i * 16)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select("doc", "simhash", "b.band", "b.chunk")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc1"),
+                     F.col("b.doc").alias("doc2"),
+                     F.col("a.simhash").alias("h1"),
+                     F.col("b.simhash").alias("h2"))
+             .distinct())
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (pairs.withColumn("hamming", hamming)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("doc1", "doc2", "hamming"))

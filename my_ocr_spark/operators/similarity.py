@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the corpus, dot product as an explicit left-to-right
+  double fold (bit-identical to the DuckDB oracle's list fold)
+* LSH-bucketed ANN — the scale path: random-hyperplane sign buckets
+  (fixed seed) shrink the candidate set; exact rescoring within buckets
+
+At 100 TB the corpus side stays partitioned and is scanned once; only the
+query set is broadcast. The LSH variant replaces the full scan per query
+with a bucket equi-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _dot(a, b):
+    """Explicit left-to-right fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col),
+                                              F.col(vec_col))))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine: broadcast queries × scan corpus once.
+
+    Output: (query_id, neighbor_id, rank, cos). Ties broken by
+    neighbor_id ascending (stable, engine-independent)."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"), F.col("_norm").alias("_cnorm"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"), F.col("_norm").alias("_qnorm"))
+    j = (c.crossJoin(F.broadcast(q))
+         .filter(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("cos", _dot(F.col("_cvec"), F.col("_qvec"))
+                     / (F.col("_cnorm") * F.col("_qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("query_id", "neighbor_id",
+                     F.col("rank").cast("int").alias("rank"), "cos"))
+
+
+_BUCKET_SCHEMA = T.StructType([
+    T.StructField("vid", T.LongType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+])
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    rng = np.random.RandomState(42)  # fixed seed → same planes everywhere
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int = 64,
+                n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane sign bucket per vector (vectorized numpy batch)."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["_vec"]])
+            signs = (mat @ planes.T) > 0
+            buckets = signs.dot(1 << np.arange(n_planes)).astype(np.int32)
+            yield pd.DataFrame({"vid": pdf["_id"], "bucket": buckets})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    return src.mapInPandas(run, schema=_BUCKET_SCHEMA)
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64, n_planes: int = 8) -> DataFrame:
+    """ANN top-k: bucket equi-join then exact cosine rescoring.
+
+    Approximate (a true neighbor in another bucket is missed — the
+    recall/cost dial is n_planes); at scale this turns a full-corpus scan
+    per query into a bucket-local join."""
+    cb = lsh_buckets(corpus, id_col, vec_col, dim, n_planes)
+    qb = lsh_buckets(queries, id_col, vec_col, dim, n_planes)
+    c = (corpus.join(cb, corpus[id_col] == cb.vid)
+               .select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cvec"), "bucket"))
+    q = (queries.join(qb, queries[id_col] == qb.vid)
+                .select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qvec"), "bucket"))
+    c = c.withColumn("_cnorm", F.sqrt(_dot("_cvec", "_cvec")))
+    q = q.withColumn("_qnorm", F.sqrt(_dot("_qvec", "_qvec")))
+    j = (c.join(F.broadcast(q), "bucket")
+         .filter(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("cos", _dot("_cvec", "_qvec")
+                     / (F.col("_cnorm") * F.col("_qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("query_id", "neighbor_id",
+                     F.col("rank").cast("int").alias("rank"), "cos"))

@@ -1,0 +1,367 @@
+"""Text-analysis + dedup + similarity queries (training-data pipeline ops
+from the north_star, plus the reference's string-metric operators
+SURVEY.md §2.4/§2.8) with DuckDB oracles wherever exactly expressible.
+
+Cross-engine parity rules: identical regexes, md5-based hashes, integer
+ratios (bit-identical doubles — never round them), explicit left-to-right
+folds for float work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_ocr_spark.operators.dedup import (
+    exact_dup_groups, fingerprint_docs, minhash_lsh_candidates,
+    ngram_jaccard_pairs, normalized_col, simhash_near_dups,
+)
+from my_ocr_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from my_ocr_spark.plans.registry import query, t
+
+# the same normalization, spelled in DuckDB
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^a-z0-9一-龥 ]', '', 'g'), ' +', ' ', 'g'))")
+
+
+@query(
+    "text_normalize_cjk",
+    oracle=f"""
+    SELECT doc_id, {_NORM_SQL} AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's word-acc normalization (ocr_metric.py:48-58):
+    lower + strip non-alnum keeping CJK + collapse whitespace."""
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", normalized_col("text").alias("norm_text")))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text — portable hash
+    (same bytes hashed on both engines)."""
+    return fingerprint_docs(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "exact_dup_groups",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+    SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM fp GROUP BY fp
+    """,
+)
+def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the fingerprint; deterministic
+    representative = min(doc_id). Map-side partial agg → tiny shuffle."""
+    return exact_dup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "token_count_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text)
+                - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                AS BIGINT) AS n_punct,
+           length(text) AS n_chars_seen
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace words + punctuation chars) — the
+    SQL-expressible core of textstats.token_count."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        (F.length("text")
+         - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", "")))
+        .cast("bigint").alias("n_punct"),
+        F.length("text").alias("n_chars_seen"),
+    )
+
+
+_STOPWORDS = ("the", "and", "is", "of", "to", "in", "a", "for", "on", "with")
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE length(text) > 0
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(CASE WHEN lower(word) IN
+                    {repr(tuple(_STOPWORDS))} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_stop,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           CASE WHEN n_words >= 40
+                     AND CAST(n_stop AS DOUBLE) / n_words
+                         BETWEEN CAST(0.02 AS DOUBLE) AND CAST(0.6 AS DOUBLE)
+                THEN 'good' ELSE 'low' END AS quality_bucket
+    FROM agg
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + length gate → bucket. Exact
+    integer ratio (bit-identical across engines, no rounding)."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    agg = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.when(F.lower("word").isin(*_STOPWORDS), 1).otherwise(0))
+         .cast("bigint").alias("n_stop"))
+    ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    return agg.select(
+        "doc_id", "n_words", "n_stop", ratio.alias("stop_ratio"),
+        F.when((F.col("n_words") >= 40) & (ratio >= 0.02) & (ratio <= 0.6),
+               "good").otherwise("low").alias("quality_bucket"))
+
+
+_MARKERS = {"de": " der ", "es": " el ", "fr": " le ", "en": " the "}
+
+
+def _hits_sql(m: str) -> str:
+    return (f"CAST((length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', '{m}', '')))"
+            f" / {len(m)} AS BIGINT)")
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               length(regexp_replace(text, '[^一-龥]', '', 'g')) AS cjk,
+               length(text) AS n,
+               {_hits_sql(_MARKERS['de'])} AS h_de,
+               {_hits_sql(_MARKERS['es'])} AS h_es,
+               {_hits_sql(_MARKERS['fr'])} AS h_fr,
+               {_hits_sql(_MARKERS['en'])} AS h_en
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, lang,
+           CASE WHEN CAST(cjk AS DOUBLE) / n > CAST(0.05 AS DOUBLE) THEN 'zh'
+                WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_en
+                     AND h_de > 0 THEN 'de'
+                WHEN h_es >= h_fr AND h_es >= h_en AND h_es > 0 THEN 'es'
+                WHEN h_fr >= h_en AND h_fr > 0 THEN 'fr'
+                WHEN h_en > 0 THEN 'en'
+                ELSE 'und' END AS detected
+    FROM h
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic: CJK char ratio + stopword-marker
+    counts with a fixed priority order (de>es>fr>en on ties)."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def hits(m: str):
+        return ((F.length(padded)
+                 - F.length(F.replace(padded, F.lit(m), F.lit(""))))
+                / len(m)).cast("bigint")
+
+    h = d.select(
+        "doc_id", "lang",
+        F.length(F.regexp_replace("text", "[^一-龥]", "")).alias("cjk"),
+        F.length("text").alias("n"),
+        hits(_MARKERS["de"]).alias("h_de"),
+        hits(_MARKERS["es"]).alias("h_es"),
+        hits(_MARKERS["fr"]).alias("h_fr"),
+        hits(_MARKERS["en"]).alias("h_en"),
+    )
+    detected = (
+        F.when(F.col("cjk").cast("double") / F.col("n") > 0.05, "zh")
+        .when((F.col("h_de") >= F.col("h_es")) & (F.col("h_de") >= F.col("h_fr"))
+              & (F.col("h_de") >= F.col("h_en")) & (F.col("h_de") > 0), "de")
+        .when((F.col("h_es") >= F.col("h_fr")) & (F.col("h_es") >= F.col("h_en"))
+              & (F.col("h_es") > 0), "es")
+        .when((F.col("h_fr") >= F.col("h_en")) & (F.col("h_fr") > 0), "fr")
+        .when(F.col("h_en") > 0, "en")
+        .otherwise("und"))
+    return h.select("doc_id", "lang", detected.alias("detected"))
+
+
+@query(
+    "ngram_jaccard_dups",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id AS doc,
+               unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS shingle
+        FROM documents
+    ),
+    sh2 AS (SELECT doc, shingle FROM sh WHERE shingle <> ''),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh2 GROUP BY doc),
+    shared AS (
+        SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS shared
+        FROM sh2 a JOIN sh2 b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc1, doc2, shared, s1.sz AS sz1, s2.sz AS sz2,
+           CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc = doc1
+    JOIN sizes s2 ON s2.doc = doc2
+    WHERE CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared)
+          > CAST(0.8 AS DOUBLE)
+    """,
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram Jaccard near-dup pairs via inverted-index self-join
+    (the exact counterpart the MinHash query approximates)."""
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                               "doc_id", "text", n=1, threshold=0.8)
+
+
+@query("minhash_lsh_candidates")  # approximate → rows-only check
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms, md5-based) + 8-band LSH candidate pairs.
+    No SQL oracle: banding is approximate by design; exactness is covered
+    by ngram_jaccard_dups and by pytest (candidates ⊇ high-J pairs)."""
+    return minhash_lsh_candidates(t(spark, sf_dir, "documents"),
+                                  "doc_id", "text")
+
+
+@query("simhash_near_dups")  # rows-only
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 + 4x16-bit band join, exact hamming<=3 verify."""
+    return simhash_near_dups(t(spark, sf_dir, "documents"),
+                             "doc_id", "text")
+
+
+# --- similarity search ------------------------------------------------------
+
+_COS_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    dots AS (
+        SELECT c.vec_id AS neighbor_id, q.vec_id AS query_id,
+               list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CAST(c.embedding[i] AS DOUBLE)
+                        * CAST(q.embedding[i] AS DOUBLE)), 'sum') AS dot,
+               sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CAST(c.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE)), 'sum')) AS cn,
+               sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                   i -> CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(q.embedding[i] AS DOUBLE)), 'sum')) AS qn
+        FROM c, q WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM (SELECT query_id, neighbor_id, dot / (cn * qn) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot / (cn * qn) DESC,
+                                             neighbor_id) AS rank
+          FROM dots)
+    WHERE rank <= 3
+"""
+
+
+@query("embedding_cosine_topk", oracle=_COS_SQL)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 10 query vectors: broadcast queries ×
+    one corpus scan; dot product as explicit ordered double fold (bit-
+    identical to the DuckDB list fold)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query("embedding_ann_lsh")  # approximate → rows-only
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (8 hyperplanes, seed 42): the 100TB-scale variant
+    of embedding_cosine_topk. Approximate by design → rows-only check;
+    recall vs brute force asserted in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+# --- OCR string metrics (eval_ocr_metric analog) ----------------------------
+
+@query(
+    "ocr_word_acc_metrics",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT doc_id, {_NORM_SQL} AS gt,
+               CASE WHEN doc_id % 3 = 0 THEN upper({_NORM_SQL})
+                    WHEN doc_id % 7 = 0 THEN {_NORM_SQL} || ' x'
+                    ELSE {_NORM_SQL} END AS pred
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(sum(CASE WHEN pred = gt THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS word_acc,
+           CAST(sum(CASE WHEN lower(pred) = lower(gt) THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS word_acc_ignore_case,
+           CAST(sum(levenshtein(pred, gt)) AS BIGINT) AS total_edit_dist,
+           CAST(sum(CAST(levenshtein(pred, gt) AS DOUBLE)
+                    / greatest(length(pred), length(gt), 1)) AS DOUBLE)
+               / count(*) AS mean_ned
+    FROM pairs
+    """,
+)
+def ocr_word_acc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval_ocr_metric (ocr_metric.py:83-133): word accuracy (exact +
+    ignore-case) and mean normalized edit distance, over deterministic
+    (pred, gt) pairs derived from the documents table. levenshtein() is
+    built-in on both engines; the per-row metric projection aggregates
+    map-side."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    gt = normalized_col("text")
+    pred = (F.when(F.col("doc_id") % 3 == 0, F.upper(gt))
+             .when(F.col("doc_id") % 7 == 0, F.concat(gt, F.lit(" x")))
+             .otherwise(gt))
+    pairs = d.select("doc_id", gt.alias("gt"), pred.alias("pred"))
+    lev = F.levenshtein("pred", "gt")
+    ned = lev.cast("double") / F.greatest(F.length("pred"),
+                                          F.length("gt"), F.lit(1))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        (F.sum(F.when(F.col("pred") == F.col("gt"), 1).otherwise(0))
+         .cast("double") / F.count("*")).alias("word_acc"),
+        (F.sum(F.when(F.lower("pred") == F.lower("gt"), 1).otherwise(0))
+         .cast("double") / F.count("*")).alias("word_acc_ignore_case"),
+        F.sum(lev).cast("bigint").alias("total_edit_dist"),
+        (F.sum(ned).cast("double") / F.count("*")).alias("mean_ned"),
+    )
+
+
+@query(
+    "multimodal_payload_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           substr(md5(text), 1, 8) AS content_key,
+           CASE WHEN octet_length(encode(text)) > length(text)
+                THEN 'multibyte' ELSE 'ascii' END AS payload_kind
+    FROM documents
+    """,
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: opaque binary payload + typed metadata
+    (byte length vs char length distinguishes multibyte payloads; a real
+    image/audio decode is stubbed behind multimodal_decode_stub)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.substring(F.md5("text"), 1, 8).alias("content_key"),
+        F.when(F.octet_length(payload) > F.length("text"), "multibyte")
+         .otherwise("ascii").alias("payload_kind"),
+    )

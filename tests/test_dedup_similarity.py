@@ -1,0 +1,102 @@
+"""Dedup + similarity operators: correctness vs the pure-kernel oracles
+(mmocr-style exact tiny goldens) and LSH recall guarantees."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from my_ocr_spark.kernel import textstats as ts
+from my_ocr_spark.operators.dedup import (
+    exact_dup_groups, minhash_lsh_candidates, ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from my_ocr_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest while the rain falls softly outside")
+NEAR = BASE + " tonight"
+FAR = ("spark shuffle partition executor broadcast salt skew lineage "
+       "resume snapshot checkpoint arrow codegen catalyst tungsten stage")
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE), (4, FAR + " extra")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(spark, corpus_df):
+    out = {r["fp"]: (r["n_dups"], r["keep_id"])
+           for r in exact_dup_groups(corpus_df, "doc_id", "text").collect()}
+    fp_base = ts.fingerprint(BASE)
+    assert out[fp_base] == (2, 0)          # docs 0 and 3 identical
+    assert sum(n for n, _ in out.values()) == 5
+
+
+def test_ngram_jaccard_exact_vs_kernel(spark, corpus_df):
+    got = {(r["doc1"], r["doc2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(corpus_df, "doc_id", "text",
+                                        n=1, threshold=0.0).collect()}
+    docs = {0: BASE, 1: NEAR, 2: FAR, 3: BASE, 4: FAR + " extra"}
+    for (d1, d2), j in got.items():
+        expect = ts.jaccard(
+            sorted(set(ts.normalize_for_fingerprint(docs[d1]).split())),
+            sorted(set(ts.normalize_for_fingerprint(docs[d2]).split())))
+        assert abs(j - expect) < 1e-12, (d1, d2)
+    assert got[(0, 3)] == 1.0
+    assert got[(0, 1)] > 0.9
+
+
+def test_minhash_candidates_superset_of_true_dups(spark, corpus_df):
+    cands = {(r["doc1"], r["doc2"]) for r in
+             minhash_lsh_candidates(corpus_df, "doc_id", "text").collect()}
+    # identical docs MUST be candidates (all bands equal)
+    assert (0, 3) in cands
+    # near-identical docs share most shingles → expected in candidates
+    assert (0, 1) in cands
+    # unrelated docs must not pair
+    assert (0, 2) not in cands and (1, 2) not in cands
+
+
+def test_simhash_near_dups(spark, corpus_df):
+    pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in
+             simhash_near_dups(corpus_df, "doc_id", "text").collect()}
+    assert pairs[(0, 3)] == 0
+    assert (0, 2) not in pairs
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16)
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]]))
+    # vec 8 = near-copy of vec 0
+    rows.append((8, [float(x) for x in base[0] + 0.01 * rng.randn(16)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, emb_df):
+    import numpy as np
+    out = cosine_topk(emb_df, emb_df.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["neighbor_id"] == 8          # the near-copy wins
+    assert rows[0]["cos"] > 0.99
+    # verify against numpy
+    pdf = emb_df.toPandas().set_index("vec_id")
+    v0 = np.array(pdf.loc[0, "embedding"])
+    def cos(i):
+        v = np.array(pdf.loc[i, "embedding"])
+        return float(v0 @ v / (np.linalg.norm(v0) * np.linalg.norm(v)))
+    for r in rows:
+        assert abs(r["cos"] - cos(r["neighbor_id"])) < 1e-9
+
+
+def test_lsh_ann_finds_near_copy(spark, emb_df):
+    out = lsh_ann_topk(emb_df, emb_df.filter(F.col("vec_id") == 0), k=3,
+                       dim=16, n_planes=4)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    # near-copy lands in the same sign bucket with overwhelming likelihood
+    assert rows and rows[0]["neighbor_id"] == 8
