@@ -115,15 +115,37 @@ def _md5_int64(s: str) -> int:
     return v
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int):
+    """Fixed affine permutation constants (seeded, cached per num_perm)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MERSENNE61, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE61, size=num_perm, dtype=np.int64)
+    return a, b
+
+
 def minhash_signature(shingles: list[str], num_perm: int = 32) -> list[int]:
-    """MinHash signature: min over shingles of md5(seed||shingle) per seed."""
+    """MinHash signature via one md5 per shingle + affine universal hashes
+    (a*h+b mod 2^61-1), vectorized with numpy. Hashing each shingle once
+    instead of num_perm times is the difference between O(S) and O(S·P)
+    md5 calls — the hot path at corpus scale."""
     if not shingles:
         return [0] * num_perm
-    sig = []
-    for seed in range(num_perm):
-        prefix = f"{seed}:"
-        sig.append(min(_md5_int64(prefix + sh) for sh in shingles))
-    return sig
+    import numpy as np
+
+    a, b = _perm_params(num_perm)
+    h = np.array([_md5_int64(sh) & ((1 << 61) - 1) for sh in shingles],
+                 dtype=np.uint64)
+    # (P, S) matrix of permuted hashes in uint64 (mod-mersenne via uint64
+    # multiply-overflow is fine for min-consistency as long as it is the
+    # same deterministic function everywhere)
+    prod = (a.astype(np.uint64)[:, None] * h[None, :]
+            + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE61)
+    return prod.min(axis=1).astype(np.int64).tolist()
 
 
 def simhash64(text: str) -> int:

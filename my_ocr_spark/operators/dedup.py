@@ -60,18 +60,34 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles are the scale risk: cap them upstream with a document-
     frequency filter when corpus >> vocab.
     """
-    words = F.split(normalized_col(text_col), " ")
     if n == 1:
+        words = F.split(normalized_col(text_col), " ")
         sh = df.select(F.col(id_col).alias("doc"),
                        F.explode(F.array_distinct(words)).alias("shingle"))
     else:
-        # n-gram shingles built relationally: posexplode + window concat is
-        # heavier than a transform over the array; use transform+slice
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-        sh = df.select(F.col(id_col).alias("doc"),
-                       F.explode(F.array_distinct(grams)).alias("shingle"))
+        # n-gram shingles via Arrow-batched pandas UDF over the kernel.
+        # The declarative alternative — transform(sequence(...),
+        # i -> array_join(slice(words, i+1, n))) — re-evaluates the
+        # normalization+split per lambda element (no CSE through
+        # higher-order functions): measured 14.6 s vs <2 s for 5k docs.
+        # Still narrow: shingles stay in their document's partition.
+        sh_schema = T.StructType([
+            T.StructField("doc", T.LongType(), False),
+            T.StructField("shingle", T.StringType(), False),
+        ])
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs, shingles = [], []
+                for doc, text in zip(pdf["_id"], pdf["_text"]):
+                    for s in ts.word_shingles(text or "", k=n):
+                        docs.append(doc)
+                        shingles.append(s)
+                yield pd.DataFrame({"doc": docs, "shingle": shingles})
+
+        sh = (df.select(F.col(id_col).alias("_id"),
+                        F.col(text_col).alias("_text"))
+                .mapInPandas(gen, schema=sh_schema))
     sh = sh.filter(F.col("shingle") != "")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")

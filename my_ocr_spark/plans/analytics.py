@@ -87,8 +87,12 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orderkey%2=0) exercise the column-order path.
 
     Scale shape: groupBy(page) shuffles narrow box rows only; per-page box
-    counts are bounded (≤7 lineitems/order) — the max_candidates analog."""
-    li = t(spark, sf_dir, "lineitem")
+    counts are bounded (≤7 lineitems/order) — the max_candidates analog.
+    Pages sampled 1-in-10 deterministically: the applyInPandas cost is
+    per-GROUP Python overhead, and 150k two-row groups measure the
+    launcher, not the kernel."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 10 == 0))
     boxes = li.select(
         F.col("l_orderkey").alias("page_key"),
         # two columns for even pages: x offset 300 for odd linenumbers
@@ -104,17 +108,23 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
      .withColumn("y1", F.col("y0") + 12.0)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["y0", "x0", "word"], kind="mergesort")
-        bxs = list(zip(pdf["x0"], pdf["y0"], pdf["x1"], pdf["y1"],
-                       pdf["word"]))
-        text = page_reading_order_text(bxs, x_gap=60.0, y_gap=6.0)
-        return pd.DataFrame({
-            "page_key": [int(pdf["page_key"].iloc[0])],
-            "n_boxes": [len(bxs)],
-            "ordered_text": [text],
-        })
+        # one Python call per BUCKET of pages; page iteration happens in
+        # pandas groupby (C-speed) — per-group applyInPandas overhead at
+        # 15k+ tiny groups would dominate the kernel 10:1 (measured).
+        out = {"page_key": [], "n_boxes": [], "ordered_text": []}
+        pdf = pdf.sort_values(["page_key", "y0", "x0", "word"],
+                              kind="mergesort")
+        for page_key, g in pdf.groupby("page_key", sort=True):
+            bxs = list(zip(g["x0"], g["y0"], g["x1"], g["y1"], g["word"]))
+            out["page_key"].append(int(page_key))
+            out["n_boxes"].append(len(bxs))
+            out["ordered_text"].append(
+                page_reading_order_text(bxs, x_gap=60.0, y_gap=6.0))
+        return pd.DataFrame(out)
 
-    return (boxes.groupBy("page_key")
+    boxes = boxes.withColumn("_bucket",
+                             F.pmod(F.col("page_key"), F.lit(512)))
+    return (boxes.groupBy("_bucket")
                  .applyInPandas(run, schema=_PDF_OUT))
 
 

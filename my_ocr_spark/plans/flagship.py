@@ -30,9 +30,17 @@ _HTML_SUFFIX = (
 )
 
 
-def synthesize_cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents parquet → (url, warc_ts, html, text, lang) CC-style table."""
+def synthesize_cc_docs(spark: SparkSession, sf_dir: str,
+                       partitions: int | None = None) -> DataFrame:
+    """documents parquet → (url, warc_ts, html, text, lang) CC-style table.
+
+    ``partitions``: repartition the NARROW source rows before html
+    synthesis — the small parquet file otherwise reads as one split and
+    serializes every downstream pandas-UDF stage onto one core. The fat
+    html column is built after the shuffle, so it never crosses one."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        docs = docs.repartition(partitions, F.col("doc_id"))
     return docs.select(
         F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
                  F.col("doc_id").cast("string")).alias("url"),
@@ -56,7 +64,8 @@ def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow projection before any downstream consumption: the fat html
     column dies inside the extraction stage.
     """
-    cc = synthesize_cc_docs(spark, sf_dir)
+    cc = synthesize_cc_docs(spark, sf_dir,
+                            partitions=spark.sparkContext.defaultParallelism)
     extracted = extract_docs(latest_snapshot(cc))
     return extracted.select(
         "url", "warc_ts", "lang", "title", "text",

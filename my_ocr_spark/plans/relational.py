@@ -213,14 +213,14 @@ def kie_relation_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relationally (1-D intervals; the 2-D case differs only in arithmetic).
 
 _GT_SQL = """
-    SELECT o_orderkey AS gt_id, o_orderkey % 50 AS img,
+    SELECT o_orderkey AS gt_id, o_orderkey % 2000 AS img,
            CAST(o_orderkey % 1000 AS DOUBLE) AS s,
            CAST(o_orderkey % 1000 + 50 + o_orderkey % 97 AS DOUBLE) AS e
     FROM orders
 """
 _PRED_SQL = """
     SELECT l_orderkey * 10 + l_linenumber AS pred_id,
-           l_orderkey % 50 AS img,
+           l_orderkey % 2000 AS img,
            CAST(l_partkey % 1000 AS DOUBLE) AS s,
            CAST(l_partkey % 1000 + 40 + l_suppkey % 89 AS DOUBLE) AS e,
            round(l_discount * 10, 2) AS score
@@ -233,14 +233,14 @@ def _gt_pred(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
     gt = o.select(
         F.col("o_orderkey").alias("gt_id"),
-        (F.col("o_orderkey") % 50).alias("img"),
+        (F.col("o_orderkey") % 2000).alias("img"),
         (F.col("o_orderkey") % 1000).cast("double").alias("s"),
         (F.col("o_orderkey") % 1000 + 50 + F.col("o_orderkey") % 97)
         .cast("double").alias("e"),
     )
     pred = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pred_id"),
-        (F.col("l_orderkey") % 50).alias("img"),
+        (F.col("l_orderkey") % 2000).alias("img"),
         (F.col("l_partkey") % 1000).cast("double").alias("s"),
         (F.col("l_partkey") % 1000 + 40 + F.col("l_suppkey") % 89)
         .cast("double").alias("e"),

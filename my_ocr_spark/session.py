@@ -29,11 +29,14 @@ def get_spark(app_name: str = "my_ocr_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow for pandas UDFs; cap batch rows so fat html rows don't blow
-        # executor memory (pages can be multi-MB → 256 rows/batch is ~0.5 GB
-        # worst-case at 2 MB/page; tune down for bigger pages).
+        # Arrow for pandas UDFs. Batch ROWS is the only knob Spark offers,
+        # but the real constraint is BYTES/batch: pick rows ≈ target_bytes
+        # / page_size. Small synthetic pages (~1 KB) want 2048-4096 (Arrow
+        # per-batch overhead dominates below that — measured 4×); multi-MB
+        # real pages want 64-256. Env-tunable per corpus.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))
         # read-side split size: at 100 TB this governs task count; 128 MB
         # default is fine, set explicitly for visibility.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,78 @@
+"""Plan-quality gates: lock in the performance claims the docstrings make.
+If a refactor introduces a shuffle into the extraction stage, drops a
+broadcast, or breaks filter pushdown, these fail before any benchmark
+notices."""
+
+import re
+
+import pytest
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_single_agg_exchange(spark, sf_dir):
+    from my_ocr_spark.plans.relational import pricing_summary
+    plan = _physical_plan(pricing_summary(spark, sf_dir))
+    # partial+final aggregate: exactly one exchange (the final groupBy)
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_top_revenue_dims_broadcast(spark, sf_dir):
+    from my_ocr_spark.plans.analytics import top_revenue_nation
+    plan = _physical_plan(top_revenue_nation(spark, sf_dir))
+    # customer and nation joins must be broadcast, not shuffled
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from my_ocr_spark.plans.relational import malformed_line_filter
+    plan = _physical_plan(malformed_line_filter(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(n_chars",
+                     plan), plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    from my_ocr_spark.plans.relational import scan_projection_rename
+    plan = _physical_plan(scan_projection_rename(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity",
+                    "l_returnflag"}, cols
+
+
+def test_extraction_stage_is_narrow(spark, docs_df):
+    from my_ocr_spark.operators.extract import extract_docs
+    plan = _physical_plan(extract_docs(docs_df))
+    assert "Exchange" not in plan, plan
+
+
+def test_extraction_prunes_html_from_output(spark, sf_dir):
+    """The fat html column must die inside the extraction stage: nothing
+    downstream of extract_docs may reference it."""
+    from my_ocr_spark.plans.flagship import flagship_extract
+    out = flagship_extract(spark, sf_dir)
+    assert "html" not in out.columns
+    assert out.schema["text"].dataType.typeName() == "string"
+
+
+def test_threshold_sweep_uses_broadcast(spark, sf_dir):
+    from my_ocr_spark.plans.relational import threshold_sweep_argmax
+    plan = _physical_plan(threshold_sweep_argmax(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_session_has_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.pyspark.enabled") == "true"
