@@ -34,6 +34,7 @@ def _load_registry():
     import my_ocr_spark.plans.textpipe  # noqa: F401
     import my_ocr_spark.plans.analytics  # noqa: F401
     import my_ocr_spark.plans.geometry  # noqa: F401
+    import my_ocr_spark.plans.recog  # noqa: F401
 
     return registry
 

@@ -1,0 +1,58 @@
+"""Label codecs + char-level metrics (recognize-stage string operators).
+
+Reference analogs:
+* ``str2idx``/``idx2str`` with <UKN> fallback
+  (``mmocr/models/textrecog/convertors/base.py:52-105``), DICT36 charset
+  (``base.py:20-46``: digits + lowercase letters)
+* CTC greedy decode: collapse repeats, drop blanks
+  (``mmocr/models/textrecog/convertors/ctc.py:118-133``)
+* char-level true positives via longest-common-subsequence matching →
+  char precision/recall (``mmocr/core/evaluation/ocr_metric.py:7-81``)
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+DICT36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+UKN_IDX = len(DICT36)  # 36, the <UKN> bucket
+_CHAR2IDX = {c: i for i, c in enumerate(DICT36)}
+
+
+def str2idx(text: str) -> list[int]:
+    """chars → indices; unknown chars map to UKN_IDX (never raises)."""
+    return [_CHAR2IDX.get(c, UKN_IDX) for c in text]
+
+
+def idx2str(indices: list[int]) -> str:
+    """indices → chars; UKN renders as '?' (lossy, like the reference's
+    <UKN> token)."""
+    return "".join(DICT36[i] if 0 <= i < len(DICT36) else "?"
+                   for i in indices)
+
+
+def ctc_greedy_decode(indices: list[int], blank: int = UKN_IDX) -> list[int]:
+    """Collapse consecutive repeats, then remove blanks (ctc.py:118-133)."""
+    out: list[int] = []
+    prev: int | None = None
+    for i in indices:
+        if i != prev and i != blank:
+            out.append(i)
+        prev = i
+    return out
+
+
+def char_true_positives(pred: str, gt: str) -> int:
+    """LCS-matched character count (ocr_metric.py:7-25 semantics:
+    SequenceMatcher matching blocks)."""
+    sm = SequenceMatcher(None, pred, gt, autojunk=False)
+    return sum(b.size for b in sm.get_matching_blocks())
+
+
+def char_precision_recall(pred: str, gt: str) -> tuple[float, float]:
+    tp = char_true_positives(pred, gt)
+    # empty-side conventions: an empty side has nothing to get wrong →
+    # its own ratio is vacuously 1.0
+    p = tp / len(pred) if pred else 1.0
+    r = tp / len(gt) if gt else 1.0
+    return p, r

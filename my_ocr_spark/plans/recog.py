@@ -1,0 +1,131 @@
+"""Recognize-stage queries (SURVEY.md §2.8 codecs, §2.4 char metrics,
+§2.3 IC13 grouped matching)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+from my_ocr_spark.kernel.codec import DICT36, char_precision_recall
+from my_ocr_spark.plans.registry import query, t
+from my_ocr_spark.plans.relational import _GT_SQL, _PRED_SQL, _gt_pred
+
+# CASE expression shared verbatim by both engines (36-char dict + UKN=36,
+# convertors/base.py:20-46)
+_CHAR_CASE = ("CASE " + " ".join(
+    f"WHEN c = '{ch}' THEN {i}" for i, ch in enumerate(DICT36))
+    + " ELSE 36 END")
+_IDX_CASE = ("CASE " + " ".join(
+    f"WHEN i = {i} THEN '{ch}'" for i, ch in enumerate(DICT36))
+    + " ELSE '?' END")
+
+
+@query(
+    "char_codec_roundtrip",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               substr(lower(text), 1, 24) AS frag
+        FROM documents WHERE length(text) >= 24
+    ),
+    enc AS (
+        SELECT doc_id, frag,
+               list_transform(string_split(frag, ''),
+                              c -> {_CHAR_CASE}) AS idx
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(idx AS INTEGER[]) AS idx,
+           array_to_string(list_transform(idx, i -> {_IDX_CASE}), '')
+               AS decoded
+    FROM enc
+    """,
+)
+def char_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str2idx/idx2str with <UKN> fallback (convertors/base.py:52-105) as
+    pure array expressions: chars → DICT36 indices → chars ('?' for UKN).
+    The charset map is a literal CASE — identical text on both engines."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 24)
+    frag = F.substring(F.lower("text"), 1, 24)
+    s = d.select("doc_id", frag.alias("frag"))
+    idx = F.expr(f"transform(split(frag, ''), c -> {_CHAR_CASE})")
+    s = s.withColumn("idx", idx.cast("array<int>"))
+    decoded = F.expr(
+        f"array_join(transform(idx, i -> {_IDX_CASE}), '')")
+    return s.select("doc_id", "idx", decoded.alias("decoded"))
+
+
+_CHARPR_OUT = T.StructType([
+    T.StructField("n_pairs", T.LongType(), False),
+    T.StructField("sum_char_precision", T.DoubleType(), False),
+    T.StructField("sum_char_recall", T.DoubleType(), False),
+])
+
+
+@query("char_precision_recall_agg")  # LCS matching → rows-only
+def char_precision_recall_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level P/R via LCS matching (ocr_metric.py:7-81) over
+    deterministic (pred, gt) pairs; LCS is not SQL-expressible → kernel
+    pandas UDF with map-side partial sums, one tiny final agg."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    gt = F.lower(F.substring("text", 1, 60))
+    pred = F.when(F.col("doc_id") % 2 == 0,
+                  F.lower(F.substring("text", 3, 60))).otherwise(gt)
+    pairs = d.select(pred.alias("pred"), gt.alias("gt"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, sp, sr = 0, 0.0, 0.0
+        for pdf in batches:
+            for p_, g_ in zip(pdf["pred"], pdf["gt"]):
+                p, r = char_precision_recall(p_ or "", g_ or "")
+                n += 1
+                sp += p
+                sr += r
+        yield pd.DataFrame({"n_pairs": [n], "sum_char_precision": [sp],
+                            "sum_char_recall": [sr]})
+
+    partial = pairs.mapInPandas(run, schema=_CHARPR_OUT)
+    return partial.agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("sum_char_precision").alias("sum_char_precision"),
+        F.sum("sum_char_recall").alias("sum_char_recall"))
+
+
+@query(
+    "ic13_many2one",
+    oracle=f"""
+    WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
+    pairs AS (
+        SELECT gt.gt_id, gt.img, pred.pred_id,
+               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+                   / (gt.e - gt.s) AS gt_cover
+        FROM gt JOIN pred ON gt.img = pred.img
+        WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
+    )
+    SELECT gt_id, img, count(*) AS n_preds,
+           sum(gt_cover) AS total_recall
+    FROM pairs GROUP BY gt_id, img
+    HAVING sum(gt_cover) >= CAST(0.8 AS DOUBLE) AND count(*) >= 2
+    """,
+)
+def ic13_many2one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC13 many-to-one matching (hmean_ic13.py:7-216, one_2_many/
+    many_2_one at evaluation/utils.py:211-349): a GT matched by the UNION
+    of several predictions — post-join groupBy(gt) with summed coverage
+    threshold. Same grouped-join shape as hmean, different aggregate."""
+    gt, pred = _gt_pred(spark, sf_dir)
+    p = pred.select("pred_id", F.col("img").alias("pimg"),
+                    F.col("s").alias("ps"), F.col("e").alias("pe"))
+    j = gt.join(p, gt.img == p.pimg)
+    inter = F.greatest(F.lit(0.0),
+                       F.least("e", "pe") - F.greatest("s", "ps"))
+    j = (j.filter(F.least("e", "pe") > F.greatest("s", "ps"))
+          .withColumn("gt_cover", inter / (F.col("e") - F.col("s"))))
+    return (j.groupBy("gt_id", "img")
+             .agg(F.count("*").alias("n_preds"),
+                  F.sum("gt_cover").alias("total_recall"))
+             .filter((F.col("total_recall") >= 0.8)
+                     & (F.col("n_preds") >= 2)))
