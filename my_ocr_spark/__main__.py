@@ -1,0 +1,73 @@
+"""CLI entrypoints — the analog of the reference's tools/ scripts
+(``tools/test.py``, ``tools/det_test_imgs.py`` etc.), spark-submit-ready:
+
+    spark-submit --py-files my_ocr_spark.zip -m my_ocr_spark extract ...
+    python -m my_ocr_spark extract --input docs.parquet --output out/
+    python -m my_ocr_spark blocks  --input docs.parquet --output out/
+    python -m my_ocr_spark dedup   --input docs.parquet --output out/
+
+The extract sink is deterministic (sortWithinPartitions by url — Spark
+relations are unordered, SURVEY.md §4.3) and lineage-committed
+(resumable; see operators/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="my_ocr_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--input", required=True,
+                       help="parquet path with (url, warc_ts, html, text, lang)")
+        p.add_argument("--output", required=True)
+        p.add_argument("--master", default=None)
+        p.add_argument("--buckets", type=int, default=16)
+
+    for name in ("extract", "blocks", "dedup"):
+        common(sub.add_parser(name))
+    sub.choices["extract"].add_argument("--no-resume", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    from my_ocr_spark.session import get_spark
+    from my_ocr_spark.sources.catalog import read_table
+
+    spark = get_spark(app_name=f"my_ocr_spark-{args.cmd}",
+                      master=args.master)
+    docs = read_table(spark, args.input)
+
+    if args.cmd == "extract":
+        from my_ocr_spark.operators.extract import (extract_docs,
+                                                    latest_snapshot)
+        from my_ocr_spark.operators.lineage import write_with_lineage
+
+        out = (extract_docs(latest_snapshot(docs))
+               .sortWithinPartitions("url"))
+        stats = write_with_lineage(out, args.output, key_col="url",
+                                   payload_col="text",
+                                   n_buckets=args.buckets,
+                                   resume=not args.no_resume)
+        print(json.dumps({"cmd": "extract", **stats}))
+    elif args.cmd == "blocks":
+        from my_ocr_spark.operators.extract import explode_blocks
+
+        explode_blocks(docs).write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"cmd": "blocks", "output": args.output}))
+    elif args.cmd == "dedup":
+        from my_ocr_spark.operators.dedup import exact_dup_groups
+
+        (exact_dup_groups(docs, "url", "text")
+         .write.mode("overwrite").parquet(args.output))
+        print(json.dumps({"cmd": "dedup", "output": args.output}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
