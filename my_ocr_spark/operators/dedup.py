@@ -161,6 +161,54 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             .distinct())
 
 
+def minhash_then_verify(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.7, num_perm: int = 32,
+                        bands: int = 8, shingle_k: int = 3) -> DataFrame:
+    """The standard scalable near-dup pipeline: MinHash-LSH candidates →
+    exact Jaccard verification of ONLY the candidate pairs.
+
+    LSH bounds the candidate count (vs the corpus-quadratic exact join);
+    the verify join re-derives each candidate pair's shingle sets and
+    computes exact Jaccard, so every emitted pair is truly >= threshold
+    (no false positives; false negatives bounded by the banding curve:
+    P[miss] = (1 - J^r)^b, r=num_perm/bands)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
+                                   shingle_k)
+
+    def shingle_set(text: str) -> set[str]:
+        return set(ts.word_shingles(text or "", k=shingle_k))
+
+    texts = df.select(F.col(id_col).alias("_tid"),
+                      F.col(text_col).alias("_ttext"))
+    t1 = texts.select(F.col("_tid").alias("doc1"),
+                      F.col("_ttext").alias("_text1"))
+    t2 = texts.select(F.col("_tid").alias("doc2"),
+                      F.col("_ttext").alias("_text2"))
+    joined = cands.join(t1, "doc1").join(t2, "doc2")
+
+    out_schema = T.StructType([
+        T.StructField("doc1", T.LongType(), False),
+        T.StructField("doc2", T.LongType(), False),
+        T.StructField("jaccard", T.DoubleType(), False),
+    ])
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d1, d2, js = [], [], []
+            for a, b, x, y in zip(pdf["doc1"], pdf["doc2"],
+                                  pdf["_text1"], pdf["_text2"]):
+                sa, sb = shingle_set(x), shingle_set(y)
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 1.0
+                if j >= threshold:
+                    d1.append(a)
+                    d2.append(b)
+                    js.append(j)
+            yield pd.DataFrame({"doc1": d1, "doc2": d2, "jaccard": js})
+
+    return joined.mapInPandas(verify, schema=out_schema)
+
+
 _SIMHASH_SCHEMA = T.StructType([
     T.StructField("doc", T.LongType(), False),
     T.StructField("simhash", T.LongType(), False),

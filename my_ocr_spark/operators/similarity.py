@@ -87,6 +87,110 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
     return src.mapInPandas(run, schema=_BUCKET_SCHEMA)
 
 
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    ``centroids``: small numpy array (n_centroids, dim) broadcast into the
+    UDF closure — the product-quantization codebook stays driver-side and
+    tiny; the corpus is scanned once, never shuffled."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                           1e-12)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["_vec"]])
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1,
+                                                 keepdims=True), 1e-12)
+            cell = (mn @ cn.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame({"vid": pdf["_id"], "bucket": cell})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    return src.mapInPandas(run, schema=_BUCKET_SCHEMA)
+
+
+def train_centroids_kmeans(df: DataFrame, n_centroids: int = 16,
+                           n_iter: int = 5, sample_ids: int = 2048,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Deterministic mini k-means for the IVF codebook: seed centroids =
+    the ``n_centroids`` lowest-id vectors (no RNG), a few Lloyd iterations
+    over a bounded id-sample collected to the driver. At scale the sample
+    is a fixed-size head — codebook training never touches the full
+    corpus."""
+    import numpy as np
+
+    sample = (df.filter(F.col(id_col) < sample_ids)
+                .orderBy(id_col).select(vec_col).collect())
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    cent = x[:n_centroids].copy()
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = x[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return cent
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, centroids,
+                 k: int = 3, n_probe: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells, each query probes
+    its ``n_probe`` nearest cells, exact cosine rescoring within cells.
+    Approximate (recall dial = n_probe); at scale this is a bucket
+    equi-join instead of a full scan per query."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                           1e-12)
+
+    cb = ivf_assign(corpus, cent, id_col, vec_col)
+    c = (corpus.join(cb, corpus[id_col] == cb.vid)
+               .select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cvec"), "bucket"))
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype=np.float64)
+                            for v in pdf["_vec"]])
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1,
+                                                 keepdims=True), 1e-12)
+            order = np.argsort(-(mn @ cn.T), axis=1)[:, :n_probe]
+            ids, cells = [], []
+            for i, vid in enumerate(pdf["_id"]):
+                for cell in order[i]:
+                    ids.append(vid)
+                    cells.append(int(cell))
+            yield pd.DataFrame({"vid": ids, "bucket": cells})
+
+    qsrc = queries.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).alias("_vec"))
+    qb = qsrc.mapInPandas(probe, schema=_BUCKET_SCHEMA)
+    q = (queries.join(qb, queries[id_col] == qb.vid)
+                .select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qvec"), "bucket"))
+    c = c.withColumn("_cnorm", F.sqrt(_dot("_cvec", "_cvec")))
+    q = q.withColumn("_qnorm", F.sqrt(_dot("_qvec", "_qvec")))
+    j = (c.join(F.broadcast(q), "bucket")
+         .filter(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("cos", _dot("_cvec", "_qvec")
+                     / (F.col("_cnorm") * F.col("_qnorm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (j.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select("query_id", "neighbor_id",
+                     F.col("rank").cast("int").alias("rank"), "cos")
+             .distinct())
+
+
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  dim: int = 64, n_planes: int = 8) -> DataFrame:

@@ -296,6 +296,31 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+@query("minhash_then_verify")  # LSH recall is probabilistic → rows-only
+def minhash_then_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable near-dup pipeline: MinHash-LSH candidates → exact
+    Jaccard verify of candidates only. Every emitted pair is exactly
+    >= threshold (verified); misses bounded by the banding curve."""
+    from my_ocr_spark.operators.dedup import minhash_then_verify
+
+    return minhash_then_verify(t(spark, sf_dir, "documents"),
+                               "doc_id", "text", threshold=0.5)
+
+
+@query("embedding_ann_ivf")  # approximate → rows-only
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic mini-kmeans codebook (no RNG), nearest-cell
+    assignment, n_probe=2 probing, exact rescoring within cells."""
+    from my_ocr_spark.operators.similarity import (
+        ivf_ann_topk, train_centroids_kmeans,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = train_centroids_kmeans(emb, n_centroids=16, sample_ids=1024)
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), cent,
+                        k=3, n_probe=2)
+
+
 @query("embedding_ann_lsh")  # approximate → rows-only
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (8 hyperplanes, seed 42): the 100TB-scale variant
