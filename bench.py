@@ -57,6 +57,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
+    # warm-up: JVM JIT + parquet footer caches + python worker pool, so the
+    # first timed query doesn't absorb cold-start
+    qs["pricing_summary"](spark, sf_dir).count()
     headline = [
         "pricing_summary",          # partial+final agg over the fact table
         "top_revenue_nation",       # broadcast-dim multi-join
@@ -79,10 +82,16 @@ def main() -> None:
 
     # flagship extraction throughput: docs/sec and MB/sec (north metric)
     copies = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "20"))
+    # bench corpus pages are ~0.85 KB → Arrow batch sized for ~4 MB/batch
+    # (see session.py note; runtime conf, applies to the stages below)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   os.environ.get("SPARK_GRAFT_ARROW_BATCH", "4096"))
     corpus = build_amplified_corpus(spark, sf_dir, copies)
     stats_df = corpus.select(F.count("*").alias("n"),
                              F.sum(F.octet_length("html")).alias("bytes"))
     n_docs, n_bytes = stats_df.collect()[0]
+    # steady-state: spin up the python worker pool + JIT before timing
+    extract_docs(corpus.limit(2000)).count()
     t0 = time.perf_counter()
     extracted = extract_docs(corpus)
     agg = extracted.select(F.count("*").alias("n"),
