@@ -60,7 +60,26 @@ def make_html(rng: random.Random, lang: str, pathological: bool) -> str:
     )
     n_paras = rng.randint(1, 8)
     paras = []
-    for _ in range(n_paras):
+    for pi in range(n_paras):
+        roll = rng.random()
+        if roll < 0.08:  # content table
+            cells = "".join(
+                f"<td>{_sentence(rng, words, 5, 10)}</td>"
+                for _ in range(rng.randint(2, 3)))
+            paras.append(f"<table><tr>{cells}</tr></table>")
+            continue
+        if roll < 0.16:  # content list
+            items = "".join(
+                f"<li>{_sentence(rng, words, 6, 12)}</li>"
+                for _ in range(rng.randint(2, 4)))
+            paras.append(f"<ul>{items}</ul>")
+            continue
+        if roll < 0.22:  # blockquote
+            paras.append(f"<blockquote>{_paragraph(rng, words, 1, 2)}"
+                         "</blockquote>")
+            continue
+        if roll < 0.30 and pi > 0:  # mid-article subheading
+            paras.append(f"<h2>{_sentence(rng, words, 3, 6)}</h2>")
         p = _paragraph(rng, words)
         if rng.random() < 0.3:  # inline link inside content
             anchor = rng.choice(words)

@@ -660,6 +660,67 @@ def tta_best_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("score").alias("best_score")))
 
 
+@query(
+    "seg_decode_concat",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(CASE WHEN prev IS NULL
+                        OR epoch(ts) - prev > 1800 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        FROM (SELECT *, lag(epoch(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+    ),
+    winners AS (
+        SELECT user_id, sess_id, event_type AS winner,
+               min(first_ts) AS first_ts
+        FROM (SELECT user_id, sess_id, event_type,
+                     count(*) AS n, min(ts) AS first_ts,
+                     row_number() OVER (PARTITION BY user_id, sess_id
+                                        ORDER BY count(*) DESC,
+                                                 event_type) AS rn
+              FROM sess GROUP BY user_id, sess_id, event_type)
+        WHERE rn = 1 GROUP BY user_id, sess_id, event_type
+    )
+    SELECT user_id,
+           string_agg(substr(winner, 1, 1), '' ORDER BY sess_id) AS decoded
+    FROM winners GROUP BY user_id
+    """,
+)
+def seg_decode_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SegConvertor.tensor2str (seg.py:54-123): per-component majority
+    vote, components ordered spatially, winners concatenated to a string.
+    Components = gap sessions; order = session id; char = winner initial.
+    Ordered concat via sort-array-of-structs (engine-portable: DuckDB's
+    string_agg ORDER BY ≡ Spark's array_sort+array_join)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow))
+         .cast("bigint"))
+    counts = (sess.groupBy("user_id", "sess_id", "event_type")
+                  .agg(F.count("*").alias("n")))
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy(
+        F.desc("n"), F.asc("event_type"))
+    winners = (counts.withColumn("rn", F.row_number().over(w2))
+                     .filter(F.col("rn") == 1)
+                     .select("user_id", "sess_id",
+                             F.col("event_type").alias("winner")))
+    return (winners.groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("sess_id", "winner"))),
+                    lambda x: F.substring(x["winner"], 1, 1)),
+                "").alias("decoded")))
+
+
 # ---------------------------------------------------------------------------
 # §2.7 set operations
 # ---------------------------------------------------------------------------

@@ -71,6 +71,20 @@ def test_extract_arbitrary_bytes_never_raise(payload):
     st.tuples(st.floats(0, 500), st.floats(0, 500),
               st.floats(1, 100), st.floats(5, 20)),
     max_size=25))
+def test_xy_cut_is_a_permutation(raw):
+    from my_ocr_spark.kernel.layout import xy_cut
+    boxes = [(x, y, x + w, y + h, f"w{i}")
+             for i, (x, y, w, h) in enumerate(raw)]
+    order = xy_cut(boxes)
+    assert sorted(order) == list(range(len(boxes)))
+    assert xy_cut(boxes) == order  # deterministic
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.floats(0, 500), st.floats(0, 500),
+              st.floats(1, 100), st.floats(5, 20)),
+    max_size=25))
 def test_stitch_partitions_all_boxes_exactly_once(raw):
     boxes = [(x, y, x + w, y + h, f"w{i}")
              for i, (x, y, w, h) in enumerate(raw)]
