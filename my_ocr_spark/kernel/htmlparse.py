@@ -49,6 +49,8 @@ class Block:
     tag: str              # nearest enclosing block-level tag
     tag_path: str         # '/'-joined open block tags, e.g. 'body/div/p'
     depth: int            # DOM depth (all elements, not just block-level)
+    # (in_nav_footer is equivalent to 'nav|header|footer|aside in
+    # tag_path' but computed O(1) from the open-tag counter)
     text: str             # whitespace-normalized visible text
     n_chars: int          # len(text)
     n_link_chars: int     # chars of text inside <a> subtrees
@@ -66,9 +68,13 @@ class _OpenBlock:
     parts: list = field(default_factory=list)       # text fragments
     link_parts: list = field(default_factory=list)  # fragments inside <a>
     first_pos: int = -1  # document-order key: set when first text arrives
+    in_nav: bool = False  # opened under nav/header/footer/aside ancestry
 
 
 _PUNCT = frozenset(".,;:!?")
+_PUNCT_STR = ".,;:!?"
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_NAVISH = frozenset({"nav", "header", "footer", "aside"})
 
 
 def _normalize_ws(parts) -> str:
@@ -87,6 +93,7 @@ class _BlockParser(HTMLParser):
         self.title_parts: list[str] = []
         self._in_title = False
         self._pos = 0  # monotone counter of text fragments seen
+        self._open_counts: dict[str, int] = {}  # O(1) tagstack membership
 
     # -- emit ---------------------------------------------------------
     def _flush(self, ob: _OpenBlock) -> None:
@@ -105,12 +112,9 @@ class _BlockParser(HTMLParser):
             n_chars=len(text),
             n_link_chars=len(link_text),
             n_words=len(text.split()),
-            n_punct=sum(1 for c in text if c in _PUNCT),
-            is_heading=ob.tag in ("h1", "h2", "h3", "h4", "h5", "h6"),
-            in_nav_footer=("nav" in ob.tag_path.split("/")
-                           or "header" in ob.tag_path.split("/")
-                           or "footer" in ob.tag_path.split("/")
-                           or "aside" in ob.tag_path.split("/")),
+            n_punct=sum(text.count(c) for c in _PUNCT_STR),
+            is_heading=ob.tag in _HEADINGS,
+            in_nav_footer=ob.in_nav,
         ))
 
     # -- tag events ---------------------------------------------------
@@ -122,8 +126,10 @@ class _BlockParser(HTMLParser):
         if tag in _SKIP_SUBTREE:
             self._skip_depth += 1
             self._tagstack.append(tag)
+            self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
             return
         self._tagstack.append(tag)
+        self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
         if tag == "title":
             self._in_title = True
         if tag == "a":
@@ -137,7 +143,8 @@ class _BlockParser(HTMLParser):
                 t for t in self._tagstack if t in _BLOCK_TAGS
             )
             self._stack.append(_OpenBlock(tag=tag, tag_path=path,
-                                          depth=len(self._tagstack)))
+                                          depth=len(self._tagstack),
+                                          in_nav=self._nav_depth > 0))
 
     def handle_endtag(self, tag):
         if tag in _VOID:
@@ -147,6 +154,7 @@ class _BlockParser(HTMLParser):
                 self._skip_depth -= 1
             if self._tagstack and self._tagstack[-1] == tag:
                 self._tagstack.pop()
+                self._open_counts[tag] -= 1
             return
         if tag == "title":
             self._in_title = False
@@ -154,10 +162,12 @@ class _BlockParser(HTMLParser):
             self._link_depth -= 1
         if tag in ("nav", "header", "footer", "aside") and self._nav_depth > 0:
             self._nav_depth -= 1
-        # pop tagstack down to the matching open tag (tolerate misnesting)
-        if tag in self._tagstack:
+        # pop tagstack down to the matching open tag (tolerate misnesting);
+        # membership via open-tag counter, not an O(depth) list scan
+        if self._open_counts.get(tag, 0) > 0:
             while self._tagstack:
                 t = self._tagstack.pop()
+                self._open_counts[t] -= 1
                 if t == tag:
                     break
         if tag in _BLOCK_TAGS:
@@ -178,7 +188,8 @@ class _BlockParser(HTMLParser):
         if not self._stack:
             # text before any block tag: synthesize an implicit body block
             self._stack.append(_OpenBlock(tag="body", tag_path="body",
-                                          depth=len(self._tagstack)))
+                                          depth=len(self._tagstack),
+                                          in_nav=self._nav_depth > 0))
         ob = self._stack[-1]
         if ob.first_pos < 0 and data.strip():
             ob.first_pos = self._pos

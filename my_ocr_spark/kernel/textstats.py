@@ -170,6 +170,46 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+_RH_BASE = 257
+_RH_MOD = (1 << 61) - 1
+
+
+def rolling_hashes(text: str, window: int = 32) -> list[int]:
+    """Rabin-Karp rolling hashes of every ``window``-char substring of the
+    normalized text — the classic document-fingerprinting primitive
+    (winnowing selects a subset; see ``winnow_fingerprint``)."""
+    t = normalize_for_fingerprint(text)
+    n = len(t)
+    if n < window:
+        return [_rk_hash(t)] if t else []
+    out = []
+    h = _rk_hash(t[:window])
+    out.append(h)
+    top = pow(_RH_BASE, window - 1, _RH_MOD)
+    for i in range(window, n):
+        h = ((h - ord(t[i - window]) * top) * _RH_BASE + ord(t[i])) % _RH_MOD
+        out.append(h)
+    return out
+
+
+def _rk_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * _RH_BASE + ord(c)) % _RH_MOD
+    return h
+
+
+def winnow_fingerprint(text: str, window: int = 32, k: int = 8) -> list[int]:
+    """Winnowing (Schleimer et al.): min rolling hash per k-window —
+    a compact, position-robust document fingerprint set."""
+    hs = rolling_hashes(text, window)
+    if not hs:
+        return []
+    if len(hs) <= k:
+        return [min(hs)]
+    return sorted({min(hs[i:i + k]) for i in range(len(hs) - k + 1)})
+
+
 def jaccard(a: list[str], b: list[str]) -> float:
     """Exact Jaccard over two shingle sets (inputs are distinct lists)."""
     sa, sb = set(a), set(b)

@@ -296,6 +296,82 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+_COSDUP_SQL = """
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt(list_aggregate(list_transform(
+                          generate_series(1, 64),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)), 'sum'))
+                          AS nrm
+               FROM embeddings WHERE vec_id < 400)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_aggregate(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+               / (a.nrm * b.nrm) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+          / (a.nrm * b.nrm) > CAST(0.25 AS DOUBLE)
+"""
+
+
+@query("embedding_cosine_dups", oracle=_COSDUP_SQL)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos > 0.25) over a bounded id
+    slice: the exact-dedup counterpart of the ANN queries. Self-join on a
+    range-restricted side; at corpus scale the same predicate runs after
+    an LSH/IVF bucket join (embedding_ann_*), never as a global cross
+    join. Fold order matches the DuckDB oracle exactly."""
+    from my_ocr_spark.operators.similarity import _dot, with_norm
+
+    v = with_norm(t(spark, sf_dir, "embeddings")
+                  .filter(F.col("vec_id") < 400))
+    a = v.select(F.col("vec_id").alias("id1"),
+                 F.col("embedding").alias("_e1"),
+                 F.col("_norm").alias("_n1"))
+    b = v.select(F.col("vec_id").alias("id2"),
+                 F.col("embedding").alias("_e2"),
+                 F.col("_norm").alias("_n2"))
+    j = (a.join(b, F.col("id1") < F.col("id2"))
+          .withColumn("cos", _dot("_e1", "_e2")
+                      / (F.col("_n1") * F.col("_n2"))))
+    return (j.filter(F.col("cos") > 0.25)
+             .select("id1", "id2", "cos"))
+
+
+@query("winnow_fingerprints")  # rolling-hash kernel → rows-only
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling Rabin-Karp hashes, min per
+    shingle window — Schleimer et al.): the position-robust exact-dup
+    primitive. Emitted as (doc_id, fingerprint) rows ready for a
+    fingerprint-keyed dedup join."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from my_ocr_spark.kernel.textstats import winnow_fingerprint
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                for fp in winnow_fingerprint(text or ""):
+                    ids.append(doc)
+                    fps.append(fp)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return (t(spark, sf_dir, "documents").select("doc_id", "text")
+            .mapInPandas(run, schema=sch))
+
+
 @query("minhash_then_verify")  # LSH recall is probabilistic → rows-only
 def minhash_then_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates → exact
