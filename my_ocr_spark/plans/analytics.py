@@ -19,7 +19,8 @@ from my_ocr_spark.plans.registry import query, t
     "windowed_event_counts",
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE)
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE), 4)
                AS sum_value_raw
     FROM events GROUP BY 1, 2
     """,
@@ -33,8 +34,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
                       "event_type")
              .agg(F.count("*").alias("n"),
-                  F.sum(F.col("value").cast("double"))
-                   .cast("double").alias("sum_value_raw")))
+                  F.round(F.sum(F.col("value").cast("double"))
+                           .cast("double"), 4).alias("sum_value_raw")))
 
 
 @query(

@@ -38,7 +38,7 @@ _IDX_CASE = ("CASE " + " ".join(
         FROM s
     )
     SELECT doc_id,
-           CAST(idx AS INTEGER[]) AS idx,
+           array_to_string(idx, ',') AS idx_csv,
            array_to_string(list_transform(idx, i -> {_IDX_CASE}), '')
                AS decoded
     FROM enc
@@ -55,7 +55,11 @@ def char_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = s.withColumn("idx", idx.cast("array<int>"))
     decoded = F.expr(
         f"array_join(transform(idx, i -> {_IDX_CASE}), '')")
-    return s.select("doc_id", "idx", decoded.alias("decoded"))
+    return s.select(
+        "doc_id",
+        F.array_join(F.transform("idx", lambda i: i.cast("string")), ",")
+         .alias("idx_csv"),
+        decoded.alias("decoded"))
 
 
 _CHARPR_OUT = T.StructType([
@@ -106,9 +110,10 @@ def char_precision_recall_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
     )
     SELECT gt_id, img, count(*) AS n_preds,
-           sum(gt_cover) AS total_recall
+           round(sum(gt_cover), 6) AS total_recall
     FROM pairs GROUP BY gt_id, img
-    HAVING sum(gt_cover) >= CAST(0.8 AS DOUBLE) AND count(*) >= 2
+    HAVING round(sum(gt_cover), 6) >= CAST(0.8 AS DOUBLE)
+       AND count(*) >= 2
     """,
 )
 def ic13_many2one(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +131,6 @@ def ic13_many2one(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("gt_cover", inter / (F.col("e") - F.col("s"))))
     return (j.groupBy("gt_id", "img")
              .agg(F.count("*").alias("n_preds"),
-                  F.sum("gt_cover").alias("total_recall"))
+                  F.round(F.sum("gt_cover"), 6).alias("total_recall"))
              .filter((F.col("total_recall") >= 0.8)
                      & (F.col("n_preds") >= 2)))

@@ -260,7 +260,7 @@ _IOU_MATCH_SQL = f"""
         FROM gt JOIN pred ON gt.img = pred.img
         WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
     )
-    SELECT gt_id, pred_id, img, round(iou, 4) AS iou
+    SELECT gt_id, pred_id, img, iou
     FROM (SELECT *, row_number() OVER
                  (PARTITION BY gt_id ORDER BY iou DESC, pred_id) AS rn
           FROM pairs WHERE iou > 0.3)
@@ -298,7 +298,7 @@ def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "gt_id", F.col("m.pred_id").alias("pred_id"),
         F.col("m.img").alias("img"),
-        F.round(F.col("m.iou"), 4).alias("iou"))
+        F.col("m.iou").alias("iou"))
 
 
 _HMEAN_SQL = f"""

@@ -424,9 +424,9 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN lower(pred) = lower(gt) THEN 1 ELSE 0 END)
                 AS DOUBLE) / count(*) AS word_acc_ignore_case,
            CAST(sum(levenshtein(pred, gt)) AS BIGINT) AS total_edit_dist,
-           CAST(sum(CAST(levenshtein(pred, gt) AS DOUBLE)
+           round(CAST(sum(CAST(levenshtein(pred, gt) AS DOUBLE)
                     / greatest(length(pred), length(gt), 1)) AS DOUBLE)
-               / count(*) AS mean_ned
+               / count(*), 6) AS mean_ned
     FROM pairs
     """,
 )
@@ -452,7 +452,8 @@ def ocr_word_acc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.lower("pred") == F.lower("gt"), 1).otherwise(0))
          .cast("double") / F.count("*")).alias("word_acc_ignore_case"),
         F.sum(lev).cast("bigint").alias("total_edit_dist"),
-        (F.sum(ned).cast("double") / F.count("*")).alias("mean_ned"),
+        F.round(F.sum(ned).cast("double") / F.count("*"), 6)
+         .alias("mean_ned"),
     )
 
 
