@@ -129,19 +129,57 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .applyInPandas(run, schema=_PDF_OUT))
 
 
-@query("extract_maincontent")  # kernel-backed → rows-only
+_EXTRACT_ORACLE = """
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    u AS (SELECT doc_id, source,
+                 unnest(words) AS word,
+                 unnest(generate_series(1, len(words))) AS gs
+          FROM w),
+    chunks AS (
+        SELECT doc_id, source,
+               CAST(floor((gs - 1) / 10) AS INT) AS chunk_id,
+               string_agg(word, ' ' ORDER BY gs) AS chunk
+        FROM u GROUP BY doc_id, source, CAST(floor((gs - 1) / 10) AS INT)
+    ),
+    flagged AS (
+        SELECT *, (length(chunk) >= 25
+                   OR len(string_split(chunk, ' ')) >= 4) AS kept
+        FROM chunks
+    )
+    SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR)
+               AS url,
+           'doc' AS title,
+           md5(coalesce(string_agg(chunk, chr(10) || chr(10)
+               ORDER BY chunk_id) FILTER (WHERE kept), '')) AS text_md5,
+           CAST(coalesce(length(string_agg(chunk, chr(10) || chr(10)
+               ORDER BY chunk_id) FILTER (WHERE kept)), 0) AS INT)
+               AS text_len,
+           CAST(count(*) + 7 AS INT) AS n_blocks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           TRUE AS parse_ok
+    FROM flagged GROUP BY doc_id, source
+"""
+
+
+@query("extract_maincontent", oracle=_EXTRACT_ORACLE)
 def extract_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship extraction as a checkable query: narrow, hash-stable
-    output (md5 of extracted text stands in for the byte-identical
-    invariant, which pytest asserts against kernel goldens)."""
+    """The flagship extraction as an ORACLE-CHECKED query: the synthesized
+    pages paragraph-break every 10 words, so the expected extraction has a
+    closed form DuckDB can compute (chunks of 10 words, kept iff len>=25
+    or words>=4, joined by blank lines; boilerplate blocks add exactly 7
+    to n_blocks). The md5 compare makes the byte-identical invariant part
+    of the driver's correctness gate, not just pytest."""
     from my_ocr_spark.plans.flagship import flagship_extract
 
     out = flagship_extract(spark, sf_dir)
     return out.select(
         "url", "title",
         F.md5("text").alias("text_md5"),
-        F.length("text").alias("text_len"),
-        "n_blocks", "n_kept", "parse_ok",
+        F.length("text").cast("int").alias("text_len"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        "parse_ok",
     )
 
 

@@ -48,9 +48,13 @@ def synthesize_cc_docs(spark: SparkSession, sf_dir: str,
          + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
                               F.col("doc_id").cast("double"))
          ).alias("warc_ts"),
+        # paragraph break every 10 words: deterministic, and exactly
+        # mirrorable in SQL → the extraction query gets a TRUE DuckDB
+        # oracle (closed-form expected text; see plans/analytics.py)
         F.encode(
             F.concat(F.lit(_HTML_PREFIX),
-                     F.regexp_replace(F.col("text"), r"(\. )", "</p><p>"),
+                     F.regexp_replace(F.col("text"), r"((\S+ ){10})",
+                                      r"$1</p><p>"),
                      F.lit(_HTML_SUFFIX)),
             "UTF-8").alias("html"),
         F.col("text"),
