@@ -14,6 +14,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def sort_quad_vertices(pts: np.ndarray) -> np.ndarray:
+    """Order 4 points clockwise starting top-left — the reference's
+    ``sort_vertex`` (``mmocr/datasets/pipelines/box_utils.py:6-54``):
+    angular sort around the centroid, rotated so the point closest to
+    the bounding-box top-left comes first. Deterministic ties by index."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(4, 2)
+    c = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+    order = sorted(range(4), key=lambda i: (ang[i], i))  # CW in y-down
+    ring = [pts[i] for i in order]
+    tl_ref = pts.min(axis=0)
+    start = min(range(4),
+                key=lambda i: (np.hypot(*(ring[i] - tl_ref)), i))
+    return np.array(ring[start:] + ring[:start])
+
+
 def homography_from_quad(quad: np.ndarray,
                          width: float, height: float) -> np.ndarray:
     """3x3 homography H mapping rectified rect (0,0)-(w,h) → quad.

@@ -124,10 +124,12 @@ def explode_blocks(docs: DataFrame) -> DataFrame:
 
 def latest_snapshot(docs: DataFrame) -> DataFrame:
     """Keep only the latest warc_ts per url — the as-of/dedup analog
-    (SURVEY.md §2.3 last row). Window row_number, ties broken impossible
-    (url+warc_ts unique in corpus); at scale this is one shuffle on url.
+    (SURVEY.md §2.3 last row). One shuffle on url. A url crawled twice at
+    the SAME timestamp ties on content hash (deterministic winner —
+    never on partition order).
     """
     from pyspark.sql import Window
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").desc())
     return (docs.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))

@@ -38,3 +38,13 @@ def test_collinear_interior_preserved_along_edges():
     t = np.linalg.norm(mid - a) / np.linalg.norm(b - a)
     assert 0 < t < 1
     assert np.allclose(np.cross(b - a, mid - a), 0, atol=1e-6)
+
+
+def test_sort_quad_vertices():
+    from my_ocr_spark.kernel.warp import sort_quad_vertices
+    quad = np.array([[110, 20], [10, 70], [10, 20], [110, 70]], float)
+    out = sort_quad_vertices(quad)
+    assert np.allclose(out, [[10, 20], [110, 20], [110, 70], [10, 70]])
+    # already-ordered input is preserved
+    ordered = np.array([[0, 0], [100, 5], [95, 60], [-2, 55]], float)
+    assert np.allclose(sort_quad_vertices(ordered), ordered)
