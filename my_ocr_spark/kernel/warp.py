@@ -30,13 +30,17 @@ def sort_quad_vertices(pts: np.ndarray) -> np.ndarray:
     return np.array(ring[start:] + ring[:start])
 
 
-def homography_from_quad(quad: np.ndarray,
-                         width: float, height: float) -> np.ndarray:
+def homography_from_quad(quad: np.ndarray, width: float, height: float,
+                         normalize_order: bool = True) -> np.ndarray:
     """3x3 homography H mapping rectified rect (0,0)-(w,h) → quad.
 
-    ``quad``: 4x2 points in order TL, TR, BR, BL (the reference's
-    sort_vertex order). Solved via the standard 8-equation DLT system."""
+    ``quad``: 4x2 points; by default they are normalized to TL, TR, BR,
+    BL via sort_quad_vertices (self-enforcing precondition — a caller
+    with a deliberately rotated region passes normalize_order=False).
+    Solved via the standard 8-equation DLT system."""
     quad = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+    if normalize_order:
+        quad = sort_quad_vertices(quad)
     src = np.array([[0, 0], [width, 0], [width, height], [0, height]],
                    dtype=np.float64)
     a = []

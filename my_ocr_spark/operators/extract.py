@@ -122,14 +122,21 @@ def explode_blocks(docs: DataFrame) -> DataFrame:
     return docs.select("url", "html").mapInPandas(run, schema=BLOCKS_SCHEMA)
 
 
-def latest_snapshot(docs: DataFrame) -> DataFrame:
+def latest_snapshot(docs: DataFrame, key_col: str = "url",
+                    ts_col: str = "warc_ts") -> DataFrame:
     """Keep only the latest warc_ts per url — the as-of/dedup analog
-    (SURVEY.md §2.3 last row). One shuffle on url. A url crawled twice at
-    the SAME timestamp ties on content hash (deterministic winner —
-    never on partition order).
+    (SURVEY.md §2.3 last row). One shuffle on url.
+
+    Ties on the timestamp break on a hash of ALL remaining columns, so
+    the winner is content-determined for any input schema (works after
+    extraction too — the pipeline registry allows either stage order);
+    rows identical in every column are interchangeable, so the outcome
+    is deterministic in all cases.
     """
     from pyspark.sql import Window
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.xxhash64("html").desc())
+    rest = [c for c in docs.columns if c not in (key_col, ts_col)]
+    tiebreak = F.xxhash64(*rest) if rest else F.lit(0)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), tiebreak.desc())
     return (docs.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
