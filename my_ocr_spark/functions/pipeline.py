@@ -93,3 +93,21 @@ def _fingerprint_stage(col: str = "text", out: str = "fp") -> Stage:
 @register_stage("SelectColumns")
 def _select_stage(columns: list[str]) -> Stage:
     return lambda df: df.select(*columns)
+
+
+@register_stage("DeterministicAugment")
+def _augment_stage(col: str = "text", out: str = "aug_text",
+                   drop_every: int = 7) -> Stage:
+    """§2.9 augmentation pattern, made reproducible: the reference's
+    random per-record transforms (RandomCropInstances etc.,
+    transforms.py:18-967) map to per-row ops seeded by xxhash64(url) —
+    here, drop every k-th word with k offset by the row's key hash, so
+    the 'random' choice is a pure function of the row. No RNG anywhere."""
+    def stage(df: DataFrame) -> DataFrame:
+        seed = F.pmod(F.xxhash64("url"), F.lit(drop_every))
+        words = F.split(F.col(col), " ")
+        kept = F.filter(
+            words,
+            lambda w, i: F.pmod(i + seed, F.lit(drop_every)) != 0)
+        return df.withColumn(out, F.array_join(kept, " "))
+    return stage
