@@ -105,7 +105,9 @@ def extract_main_text(html_bytes: bytes) -> dict:
     """
     try:
         title, blocks = parse_blocks(html_bytes)
-        parse_ok = True
+        # quarantine signal: missing payload is not a successful parse
+        # (the tolerant parser itself never raises on garbage)
+        parse_ok = html_bytes is not None
     except Exception:  # parse_blocks shouldn't raise, but quarantine anyway
         title, blocks, parse_ok = "", [], False
     keep = classify_blocks(blocks)

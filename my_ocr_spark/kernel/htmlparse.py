@@ -199,8 +199,14 @@ class _BlockParser(HTMLParser):
             ob.link_parts.append(data)
 
 
-def parse_blocks(html_bytes: bytes) -> tuple[str, list[Block]]:
+def parse_blocks(html_bytes: bytes,
+                 lexer: str = "fast") -> tuple[str, list[Block]]:
     """Parse raw HTML bytes → (title, blocks).
+
+    ``lexer``: 'fast' (compiled-regex scan, kernel/fastparse.py — the
+    hot-path default) or 'stdlib' (html.parser). Both drive the SAME
+    _BlockParser handlers, so block semantics live in one place;
+    differential agreement is asserted in tests/test_fastparse.py.
 
     Never raises: undecodable bytes are replaced, parser errors swallowed
     (per-row quarantine is handled a level up).
@@ -213,8 +219,12 @@ def parse_blocks(html_bytes: bytes) -> tuple[str, list[Block]]:
         text = str(html_bytes)
     p = _BlockParser()
     try:
-        p.feed(text)
-        p.close()
+        if lexer == "fast":
+            from my_ocr_spark.kernel.fastparse import feed_events
+            feed_events(p, text)
+        else:
+            p.feed(text)
+            p.close()
     except Exception:
         pass  # keep whatever blocks were flushed before the error
     # flush any still-open blocks (unclosed tags at EOF)
