@@ -35,8 +35,11 @@ corpus = build_amplified_corpus(spark, sf_dir, copies)
 # materialize input stats outside the timed window
 n_docs, n_bytes = corpus.select(
     F.count("*"), F.sum(F.octet_length("html"))).collect()[0]
-# warm-up (JIT, Arrow, python worker pool) on a slice
-extract_docs(corpus.limit(2000)).count()
+# warm-up (JIT, Arrow, python worker pool): must touch EVERY partition —
+# a limit() slice spawns only one worker and the timed run then pays the
+# other N spawns (~8 s serial, measured via Amdahl fit)
+from pyspark.sql import functions as _F
+extract_docs(corpus.filter(_F.pmod(_F.xxhash64("url"), _F.lit(50)) == 0)).count()
 t0 = time.perf_counter()
 out = extract_docs(corpus)
 n_out = out.count()
