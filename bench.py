@@ -90,8 +90,11 @@ def main() -> None:
     stats_df = corpus.select(F.count("*").alias("n"),
                              F.sum(F.octet_length("html")).alias("bytes"))
     n_docs, n_bytes = stats_df.collect()[0]
-    # steady-state: spin up the python worker pool + JIT before timing
-    extract_docs(corpus.limit(2000)).count()
+    # steady-state: spin up the python worker pool + JIT before timing.
+    # Must touch every partition — a limit() slice warms only one worker
+    # and the timed run then pays the other N spawns.
+    extract_docs(corpus.filter(
+        F.pmod(F.xxhash64("url"), F.lit(50)) == 0)).count()
     t0 = time.perf_counter()
     extracted = extract_docs(corpus)
     agg = extracted.select(F.count("*").alias("n"),

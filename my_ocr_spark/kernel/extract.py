@@ -110,6 +110,12 @@ def extract_main_text(html_bytes: bytes) -> dict:
         parse_ok = html_bytes is not None
     except Exception:  # parse_blocks shouldn't raise, but quarantine anyway
         title, blocks, parse_ok = "", [], False
+    if not title:
+        # Readability-style fallback: first heading block is the title
+        for b in blocks:
+            if b.is_heading:
+                title = b.text
+                break
     keep = classify_blocks(blocks)
     parts: list[str] = []
     spans: list[tuple[int, int, int]] = []

@@ -166,3 +166,16 @@ def test_simhash_hamming():
     h1, h2, h3 = ts.simhash64(t1), ts.simhash64(t2), ts.simhash64(t3)
     assert ts.hamming64(h1, h2) < ts.hamming64(h1, h3)
     assert ts.hamming64(h1, h1) == 0
+
+
+def test_title_fallback_to_first_heading():
+    html = (f"<body><h1>Article Headline</h1><p>{CONTENT}</p>"
+            "</body>").encode()
+    res = extract_main_text(html)
+    assert res["title"] == "Article Headline"
+    # explicit <title> always wins
+    html2 = (f"<html><head><title>Real Title</title></head><body>"
+             f"<h1>Other</h1><p>{CONTENT}</p></body></html>").encode()
+    assert extract_main_text(html2)["title"] == "Real Title"
+    # no title, no heading -> empty
+    assert extract_main_text(f"<body><p>{CONTENT}</p></body>".encode())["title"] == ""
