@@ -28,8 +28,8 @@ def test_oracle_keys_subset_of_queries(registry):
     qs, oracles = registry
     assert set(oracles) <= set(qs)
     # coverage floor: most queries carry an exact oracle
-    assert len(oracles) >= 30
-    assert len(qs) >= 40
+    assert len(oracles) >= 45
+    assert len(qs) >= 55
 
 
 def test_entry_smoke(spark):
