@@ -134,3 +134,68 @@ def ic13_many2one(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("gt_cover"), 6).alias("total_recall"))
              .filter((F.col("total_recall") >= 0.8)
                      & (F.col("n_preds") >= 2)))
+
+
+@query(
+    "ic13_one2many",
+    oracle=f"""
+    WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
+    pairs AS (
+        SELECT pred.pred_id, pred.img, gt.gt_id,
+               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+                   / (pred.e - pred.s) AS pred_cover
+        FROM gt JOIN pred ON gt.img = pred.img
+        WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
+    )
+    SELECT pred_id, img, count(*) AS n_gts,
+           round(sum(pred_cover), 6) AS total_precision
+    FROM pairs GROUP BY pred_id, img
+    HAVING round(sum(pred_cover), 6) >= CAST(0.8 AS DOUBLE)
+       AND count(*) >= 2
+    """,
+)
+def ic13_one2many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC13 one-to-many matching (hmean_ic13.py / evaluation/utils.py:
+    211-349): one prediction covering the union of several GTs — the
+    symmetric grouped-join of ic13_many2one, grouped on the pred side."""
+    gt, pred = _gt_pred(spark, sf_dir)
+    g = gt.select(F.col("gt_id"), F.col("img").alias("gimg"),
+                  F.col("s").alias("gs"), F.col("e").alias("ge"))
+    j = pred.join(g, pred.img == g.gimg)
+    inter = F.greatest(F.lit(0.0),
+                       F.least("e", "ge") - F.greatest("s", "gs"))
+    j = (j.filter(F.least("e", "ge") > F.greatest("s", "gs"))
+          .withColumn("pred_cover", inter / (F.col("e") - F.col("s"))))
+    return (j.groupBy("pred_id", "img")
+             .agg(F.count("*").alias("n_gts"),
+                  F.round(F.sum("pred_cover"), 6).alias("total_precision"))
+             .filter((F.col("total_precision") >= 0.8)
+                     & (F.col("n_gts") >= 2)))
+
+
+@query(
+    "resize_metadata_rescale",
+    oracle="""
+    SELECT o_orderkey AS doc_key,
+           CAST(o_orderkey % 1200 + 400 AS BIGINT) AS width,
+           CAST(o_orderkey % 900 + 300 AS BIGINT) AS height,
+           CAST(1024 AS DOUBLE) / (o_orderkey % 1200 + 400) AS scale_factor,
+           CAST(round((o_orderkey % 900 + 300)
+                * (CAST(1024 AS DOUBLE) / (o_orderkey % 1200 + 400)), 0)
+                AS BIGINT) AS new_height
+    FROM orders
+    """,
+)
+def resize_metadata_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResizeNoImg metadata-only rescale (kie_transforms.py:9-38): scale
+    factor and derived dimensions as pure column arithmetic — no payload
+    touched (the metadata twin of the block-normalization stage)."""
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    width = (k % 1200 + 400).cast("bigint")
+    height = (k % 900 + 300).cast("bigint")
+    scale = F.lit(1024.0) / (k % 1200 + 400)
+    return o.select(
+        k.alias("doc_key"), width.alias("width"), height.alias("height"),
+        scale.alias("scale_factor"),
+        F.round(height * scale, 0).cast("bigint").alias("new_height"))
