@@ -4,7 +4,7 @@ corpus, the edge-case suite, and hypothesis-generated junk."""
 import random
 import string
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from my_ocr_spark.fixtures import make_html
 from my_ocr_spark.kernel.htmlparse import parse_blocks
@@ -63,16 +63,23 @@ _soup = st.text(
 
 @settings(max_examples=300, deadline=None)
 @given(_soup)
+@example(
+    s='<A">',
+).via('discovered failure')
 def test_differential_on_random_soup(s):
     import re
 
     from hypothesis import assume
 
-    # known intentional divergence: a tag truncated at EOF ('<p', 'x<b')
-    # is leaked as text by html.parser but dropped by the fast lexer
-    # (HTML5 EOF-in-tag rule). Exclude that class; everything else must
-    # agree exactly.
+    # known intentional divergences (each has its own explicit test):
+    # 1. a tag truncated at EOF ('<p', 'x<b') is leaked as text by
+    #    html.parser but dropped by the fast lexer (HTML5 EOF-in-tag);
+    # 2. an unterminated comment ('<!--' with no '--\s*>' after) leaks
+    #    as text in html.parser but swallows to EOF in the fast lexer
+    #    (HTML5 EOF-in-comment). Exclude both classes; everything else
+    #    must agree exactly.
     assume(not re.search(r"<[a-zA-Z!/?][^>]*$", s))
+    assume(not re.search(r"<!--(?!.*--\s*>)", s, re.S))
     html = s.encode("utf-8", errors="ignore")
     assert _sig(html, "stdlib") == _sig(html, "fast")
 
