@@ -148,6 +148,78 @@ def minhash_signature(shingles: list[str], num_perm: int = 32) -> list[int]:
     return prod.min(axis=1).astype(np.int64).tolist()
 
 
+def minhash_signatures_batch(shingle_lists, num_perm: int = 32,
+                             _memo: dict | None = None):
+    """Vectorized MinHash for a BATCH of documents → (n_docs, num_perm)
+    int64 ndarray, bit-identical to per-doc ``minhash_signature``.
+
+    Scale design: each distinct shingle in the batch is md5-hashed ONCE
+    (memoized across batches when ``_memo`` is threaded in — templated
+    web corpora repeat shingles massively), then all permutations for all
+    docs are one numpy (P, S_total) affine transform with a per-doc
+    ``minimum.reduceat``. This removes the per-doc Python loop that
+    dominated round-1 `minhash_lsh_candidates` time.
+    """
+    import numpy as np
+
+    a, b = _perm_params(num_perm)
+    memo = _memo if _memo is not None else {}
+    mask61 = (1 << 61) - 1
+
+    flat: list[int] = []
+    offsets: list[int] = []
+    doc_empty: list[bool] = []
+    for shingles in shingle_lists:
+        offsets.append(len(flat))
+        doc_empty.append(not shingles)
+        for sh in shingles:
+            v = memo.get(sh)
+            if v is None:
+                v = _md5_int64(sh) & mask61
+                if len(memo) < 2_000_000:  # bound executor memory
+                    memo[sh] = v
+            flat.append(v)
+
+    n_docs = len(shingle_lists)
+    out = np.zeros((n_docs, num_perm), dtype=np.int64)
+    if not flat:
+        return out
+    h = np.array(flat, dtype=np.uint64)
+    au = a.astype(np.uint64)[:, None]
+    bu = b.astype(np.uint64)[:, None]
+    m = np.uint64(_MERSENNE61)
+    # reduceat needs strictly valid segment starts; empty docs would alias
+    # the next doc's segment, so compute on non-empty docs only. Process
+    # doc-aligned chunks of ~16k shingles: the (P, chunk) matrix stays
+    # cache-sized, avoiding the pathological first-touch cost of one
+    # giant (P, S_total) allocation.
+    nonempty = [i for i in range(n_docs) if not doc_empty[i]]
+    offsets.append(len(flat))  # sentinel: end of last doc
+    chunk_docs: list[int] = []
+    chunk_start = None
+    CHUNK = 16384
+
+    def flush(chunk_docs, chunk_start, chunk_end):
+        starts = np.array([offsets[i] - chunk_start for i in chunk_docs],
+                          dtype=np.int64)
+        hh = h[chunk_start:chunk_end]
+        # same affine-mod-Mersenne function as minhash_signature
+        prod = (au * hh[None, :] + bu) % m
+        mins = np.minimum.reduceat(prod, starts, axis=1)
+        out[chunk_docs, :] = mins.astype(np.int64).T
+
+    for i in nonempty:
+        if chunk_start is None:
+            chunk_start = offsets[i]
+        if chunk_docs and offsets[i + 1] - chunk_start > CHUNK:
+            flush(chunk_docs, chunk_start, offsets[i])
+            chunk_docs, chunk_start = [], offsets[i]
+        chunk_docs.append(i)
+    if chunk_docs:
+        flush(chunk_docs, chunk_start, offsets[chunk_docs[-1] + 1])
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word shingles (weights = 1), md5-based."""
     shingles = word_shingles(text, k=2)

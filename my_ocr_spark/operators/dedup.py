@@ -50,15 +50,26 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 1, threshold: float = 0.5) -> DataFrame:
+                        n: int = 1, threshold: float = 0.5,
+                        df_cap: int | None = 64) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs via inverted-index self-join.
 
-    Stages: distinct shingles per doc (narrow) → per-doc set size →
-    self-join on shingle (shuffle keyed by shingle) → count shared →
-    J = shared/(|A|+|B|-shared). Exact because any pair with J>0 shares
-    >=1 shingle and therefore appears in the join. Skewed (very common)
-    shingles are the scale risk: cap them upstream with a document-
-    frequency filter when corpus >> vocab.
+    Stages: distinct shingles per doc (narrow) → document-frequency cap →
+    per-doc set size → self-join on shingle (shuffle keyed by shingle) →
+    count shared → J = shared/(|A|+|B|-shared). Exact over the capped
+    shingle universe because any pair with J>0 shares >=1 surviving
+    shingle and therefore appears in the join.
+
+    ``df_cap`` is the scale guard (enforced, not advisory): a shingle in
+    more than ``df_cap`` docs contributes df² rows to the self-join — on
+    templated/boilerplate corpora that is the quadratic blow-up. Capped
+    shingles are dropped from BOTH the join and the per-doc sizes, so the
+    result is the exact Jaccard over discriminating shingles only; a
+    shingle shared by >cap documents carries ~zero near-dup signal.
+    On the fixture corpora max df << 64, so the capped result is
+    byte-identical to the uncapped oracle (asserted by the driver
+    compare); the skew bound itself is pytest-checked with a synthetic
+    1-shingle-in-1000-docs corpus.
     """
     if n == 1:
         words = F.split(normalized_col(text_col), " ")
@@ -89,6 +100,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col(text_col).alias("_text"))
                 .mapInPandas(gen, schema=sh_schema))
     sh = sh.filter(F.col("shingle") != "")
+    if df_cap is not None:
+        # enforce the document-frequency cap: anti-join against the tiny
+        # set of over-common shingles (broadcasts; one extra agg on the
+        # already-shuffled shingle key)
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+                 .filter(F.col("df_") > df_cap)
+                 .select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -126,11 +145,16 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
     rows_per_band = num_perm // bands
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}  # executor-lifetime shingle-hash cache
         for pdf in batches:
+            shingle_lists = [ts.word_shingles(t or "", k=shingle_k)
+                             for t in pdf["_text"]]
+            # whole batch vectorized: one (P, S_total) numpy transform,
+            # distinct shingles md5-hashed once (memoized across batches)
+            sigs = ts.minhash_signatures_batch(shingle_lists, num_perm,
+                                               _memo=memo)
             out = {"doc": [], "band": [], "band_hash": []}
-            for doc, text in zip(pdf["_id"], pdf["_text"]):
-                sig = ts.minhash_signature(
-                    ts.word_shingles(text or "", k=shingle_k), num_perm)
+            for doc, sig in zip(pdf["_id"], sigs.tolist()):
                 for bi in range(bands):
                     chunk = tuple(sig[bi * rows_per_band:
                                       (bi + 1) * rows_per_band])
@@ -145,12 +169,27 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_perm: int = 32, bands: int = 8,
-                           shingle_k: int = 3) -> DataFrame:
+                           shingle_k: int = 3,
+                           bucket_cap: int | None = 512) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
-    Shuffle keyed on (band, band_hash); bucket sizes are the skew bound —
-    identical boilerplate pages form huge buckets, capped by dedup of the
-    (band_hash) join with a distinct count guard in production."""
+    Shuffle keyed on (band, band_hash).
+
+    ``bucket_cap`` is the enforced skew bound: a (band, band_hash) bucket
+    of n docs yields n² candidate rows — identical boilerplate pages form
+    mega-buckets that would dominate the join at corpus scale. Buckets
+    larger than the cap are dropped before the self-join (anti-join on
+    the tiny hot-bucket set): their members are byte-near-identical and
+    are caught by exact dedup / other bands; pair recall for genuinely
+    distinct near-dups is unaffected on the fixtures (cap >> any fixture
+    bucket, asserted in tests)."""
     rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, shingle_k)
+    if bucket_cap is not None:
+        hot = (rows.groupBy("band", "band_hash")
+                   .agg(F.count("*").alias("n_"))
+                   .filter(F.col("n_") > bucket_cap)
+                   .select("band", "band_hash"))
+        rows = rows.join(F.broadcast(hot), ["band", "band_hash"],
+                         "left_anti")
     a = rows.alias("a")
     b = rows.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

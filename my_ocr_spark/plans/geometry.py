@@ -198,16 +198,27 @@ def polygon_area_green(spark: SparkSession, sf_dir: str) -> DataFrame:
 def global_hmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eval_hmean dataset-level accumulation (hmean.py:76-149): the
     partial (per-image) counts fold into ONE global row — the map-side
-    partial + tiny final shuffle shape that scales to any corpus."""
+    partial + tiny final shuffle shape that scales to any corpus.
+
+    One lazy plan, zero driver-side actions: hits/n_gt/n_pred are three
+    1-row aggregates cross-joined (each side broadcasts trivially), and
+    precision/recall are guarded-division columns (NULL on empty input
+    instead of ZeroDivisionError)."""
     from my_ocr_spark.plans.relational import iou_theta_join_match
 
     gt, pred = _gt_pred(spark, sf_dir)
-    hits = iou_theta_join_match(spark, sf_dir).count()
-    n_gt, n_pred = gt.count(), pred.count()
-    return spark.createDataFrame(
-        [(hits, n_gt, n_pred, float(hits) / n_pred, float(hits) / n_gt)],
-        "hits long, n_gt long, n_pred long, precision_v double, "
-        "recall_v double")
+    hits = (iou_theta_join_match(spark, sf_dir)
+            .agg(F.count("*").alias("hits")))
+    n_gt = gt.agg(F.count("*").alias("n_gt"))
+    n_pred = pred.agg(F.count("*").alias("n_pred"))
+    one = hits.crossJoin(n_gt).crossJoin(n_pred)
+    hits_d = F.col("hits").cast("double")
+    return one.select(
+        "hits", "n_gt", "n_pred",
+        (hits_d / F.when(F.col("n_pred") != 0, F.col("n_pred")))
+        .alias("precision_v"),
+        (hits_d / F.when(F.col("n_gt") != 0, F.col("n_gt")))
+        .alias("recall_v"))
 
 
 @query(

@@ -58,6 +58,77 @@ def test_minhash_candidates_superset_of_true_dups(spark, corpus_df):
     assert (0, 2) not in cands and (1, 2) not in cands
 
 
+def test_minhash_batch_kernel_parity():
+    """Vectorized batch MinHash must be bit-identical to the per-doc
+    kernel (the round-1 reference implementation), including empty docs
+    and memo reuse across calls."""
+    docs = [BASE, NEAR, FAR, "", "one two", BASE]
+    lists = [ts.word_shingles(t, k=3) for t in docs]
+    memo: dict = {}
+    got = ts.minhash_signatures_batch(lists, num_perm=32, _memo=memo)
+    # second call exercises the warm-memo path
+    got2 = ts.minhash_signatures_batch(lists, num_perm=32, _memo=memo)
+    for i, sh in enumerate(lists):
+        expect = ts.minhash_signature(sh, num_perm=32)
+        assert got[i].tolist() == expect, i
+        assert got2[i].tolist() == expect, i
+
+
+def test_ngram_df_cap_bounds_skewed_join(spark):
+    """Scale guard: one shingle shared by 1000 docs must NOT produce the
+    ~500k-row df² self-join. With the cap the boilerplate shingle is
+    dropped and only genuinely similar pairs survive."""
+    rows = [(i, f"common boilerplate everywhere unique{i} tail{i}")
+            for i in range(1000)]
+    # two true near-dups that share discriminating shingles
+    rows.append((2000, "alpha beta gamma delta epsilon"))
+    rows.append((2001, "alpha beta gamma delta zeta"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=1,
+                                threshold=0.3, df_cap=64).collect()
+    got = {(r["doc1"], r["doc2"]) for r in pairs}
+    assert (2000, 2001) in got
+    # without the shared-shingle signal no boilerplate pair crosses 0.3:
+    # every emitted pair must involve the true near-dups
+    assert got == {(2000, 2001)}, sorted(got)[:5]
+
+
+def test_ngram_df_cap_noop_below_cap(spark, corpus_df):
+    """On a corpus where max document frequency << cap, the capped result
+    equals the uncapped one (the exactness contract the oracle relies on)."""
+    capped = {(r["doc1"], r["doc2"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(corpus_df, "doc_id", "text", n=1,
+                                  threshold=0.0, df_cap=64).collect()}
+    uncapped = {(r["doc1"], r["doc2"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(corpus_df, "doc_id", "text", n=1,
+                                    threshold=0.0, df_cap=None).collect()}
+    assert capped == uncapped
+
+
+def test_lsh_bucket_cap_drops_mega_bucket(spark):
+    """Scale guard: 600 byte-identical docs form one mega-bucket per band;
+    with bucket_cap=64 they contribute zero candidate pairs (exact dedup
+    owns them), while a small near-dup cluster is still found."""
+    rows = [(i, BASE) for i in range(600)]
+    rows += [(1000, FAR), (1001, FAR + " extra")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = {(r["doc1"], r["doc2"]) for r in
+             minhash_lsh_candidates(df, "doc_id", "text",
+                                    bucket_cap=64).collect()}
+    assert (1000, 1001) in cands
+    assert all(d1 >= 1000 for d1, _ in cands), len(cands)
+
+
+def test_lsh_bucket_cap_noop_on_small_buckets(spark, corpus_df):
+    with_cap = {(r["doc1"], r["doc2"]) for r in
+                minhash_lsh_candidates(corpus_df, "doc_id", "text",
+                                       bucket_cap=512).collect()}
+    no_cap = {(r["doc1"], r["doc2"]) for r in
+              minhash_lsh_candidates(corpus_df, "doc_id", "text",
+                                     bucket_cap=None).collect()}
+    assert with_cap == no_cap
+
+
 def test_simhash_near_dups(spark, corpus_df):
     pairs = {(r["doc1"], r["doc2"]): r["hamming"] for r in
              simhash_near_dups(corpus_df, "doc_id", "text").collect()}

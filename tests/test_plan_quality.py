@@ -71,6 +71,44 @@ def test_threshold_sweep_uses_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_global_hmean_builds_lazily(spark, sf_dir, monkeypatch):
+    """Query construction must trigger ZERO Spark actions (the round-1
+    version ran three .count() jobs at build time). Spy on every eager
+    DataFrame entry point during construction."""
+    import pyspark.sql.dataframe as D
+    eager_calls = []
+    for name in ("count", "collect", "toPandas", "head", "take"):
+        orig = getattr(D.DataFrame, name)
+
+        def spy(self, *a, _n=name, _o=orig, **kw):
+            eager_calls.append(_n)
+            return _o(self, *a, **kw)
+
+        monkeypatch.setattr(D.DataFrame, name, spy)
+    from my_ocr_spark.plans.geometry import global_hmean
+    df = global_hmean(spark, sf_dir)
+    assert eager_calls == [], eager_calls
+    assert df.columns == ["hits", "n_gt", "n_pred", "precision_v",
+                          "recall_v"]
+
+
+def test_global_hmean_safe_on_empty_input(spark):
+    """Guarded division: empty gt/pred → NULL precision/recall, not a
+    ZeroDivisionError (advice r1)."""
+    from pyspark.sql import functions as F
+    empty = (spark.range(0)
+             .select(F.col("id").alias("x").cast("double")))
+    hits = empty.agg(F.count("*").alias("hits"))
+    n_gt = empty.agg(F.count("*").alias("n_gt"))
+    n_pred = empty.agg(F.count("*").alias("n_pred"))
+    one = hits.crossJoin(n_gt).crossJoin(n_pred)
+    row = one.select(
+        (F.col("hits").cast("double")
+         / F.when(F.col("n_pred") != 0, F.col("n_pred")))
+        .alias("precision_v")).collect()[0]
+    assert row.precision_v is None
+
+
 def test_session_has_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
