@@ -42,6 +42,34 @@ def ctc_greedy_decode(indices: list[int], blank: int = UKN_IDX) -> list[int]:
     return out
 
 
+# Attention-decoder codec (convertors/attn.py:47-72,109-140): dict layout
+# DICT36 + <UKN>(36) + <BOS/EOS>(37, start_end_same) + <PAD>(38)
+BOS_EOS_IDX = 37
+PAD_IDX = 38
+
+
+def attn_encode(text: str, max_seq_len: int = 40) -> list[int]:
+    """str2tensor target layout (attn.py:114-132): [BOS, chars..., EOS],
+    right-padded with PAD to max_seq_len; truncated when too long."""
+    idx = [BOS_EOS_IDX] + str2idx(text) + [BOS_EOS_IDX]
+    if len(idx) > max_seq_len:
+        return idx[:max_seq_len]
+    return idx + [PAD_IDX] * (max_seq_len - len(idx))
+
+
+def attn_greedy_decode(indices: list[int]) -> list[int]:
+    """tensor2idx decode loop (attn.py:125-136 of the decode path): skip
+    PAD, STOP at the first EOS, keep everything else (incl. UKN)."""
+    out: list[int] = []
+    for i in indices:
+        if i == PAD_IDX:
+            continue
+        if i == BOS_EOS_IDX:
+            break
+        out.append(i)
+    return out
+
+
 def char_true_positives(pred: str, gt: str) -> int:
     """LCS-matched character count (ocr_metric.py:7-25 semantics:
     SequenceMatcher matching blocks)."""

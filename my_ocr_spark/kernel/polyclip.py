@@ -1,0 +1,180 @@
+"""2-D polygon geometry kernels: Sutherland–Hodgman clipping, IoU,
+vertex-normal offsetting (shrink/unclip). Pure numpy — no shapely /
+pyclipper in the sandbox.
+
+Reference analogs (capability parity, clean-room algorithms):
+* ``poly_intersection`` / ``poly_union`` / ``poly_iou``
+  (``mmocr/core/evaluation/utils.py:138-210``) — there via
+  Polygon3 clipping; here via Sutherland–Hodgman (exact for the
+  convex-clip case, which covers every quad the eval path produces).
+* DBNet kernel shrink: offset distance d = area·(1−r²)/(peri+0.001)
+  (``mmocr/datasets/pipelines/textdet_targets/base_textdet_targets.py:110-116``)
+  — there via pyclipper integer offsetting; here as an exact float
+  vertex-normal inset (identical polygon for convex inputs regardless
+  of join type).
+* ``unclip`` dilation: d = area·unclip_ratio/length
+  (``mmocr/models/textdet/postprocess/wrapper.py:168-174``) — pyclipper
+  JT_ROUND rounds outward corners; we use miter joins (exact polygon
+  corners), documented divergence.
+
+All functions accept flat [x1,y1,...,xk,yk] sequences or (k,2) arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _as_pts(poly) -> np.ndarray:
+    a = np.asarray(poly, dtype=np.float64)
+    if a.ndim == 1:
+        a = a.reshape(-1, 2)
+    return a
+
+
+def polygon_area(poly) -> float:
+    """Unsigned shoelace area (Green's theorem,
+    base_textdet_targets.py:54-70 analog)."""
+    p = _as_pts(poly)
+    x, y = p[:, 0], p[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+                 / 2.0)
+
+
+def _signed_area(p: np.ndarray) -> float:
+    x, y = p[:, 0], p[:, 1]
+    return float((np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+                 / 2.0)
+
+
+def polygon_perimeter(poly) -> float:
+    p = _as_pts(poly)
+    return float(np.sqrt(((p - np.roll(p, -1, axis=0)) ** 2)
+                         .sum(axis=1)).sum())
+
+
+def _ccw(p: np.ndarray) -> np.ndarray:
+    """Normalize vertex order to counter-clockwise."""
+    return p if _signed_area(p) >= 0 else p[::-1]
+
+
+def clip_convex(subject, clip) -> np.ndarray:
+    """Sutherland–Hodgman: clip ``subject`` (any simple polygon) against
+    CONVEX ``clip``. Returns the intersection polygon vertices (possibly
+    empty). Exact for convex-convex pairs — the quad-eval case."""
+    out = _as_pts(subject)
+    cp = _ccw(_as_pts(clip))
+    n = len(cp)
+    for i in range(n):
+        if len(out) == 0:
+            break
+        a, b = cp[i], cp[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        # inside = left of directed edge a→b (CCW clip ⇒ interior is left)
+        res = []
+        m = len(out)
+        for j in range(m):
+            p, q = out[j], out[(j + 1) % m]
+            sp = ex * (p[1] - a[1]) - ey * (p[0] - a[0])
+            sq = ex * (q[1] - a[1]) - ey * (q[0] - a[0])
+            p_in = sp >= 0
+            q_in = sq >= 0
+            if p_in:
+                res.append(p)
+            if p_in != q_in:
+                t = sp / (sp - sq)
+                res.append(p + t * (q - p))
+        out = np.array(res) if res else np.empty((0, 2))
+    return out
+
+
+def poly_intersection_area(a, b) -> float:
+    """Intersection area (poly_intersection analog; ``b`` must be convex)."""
+    inter = clip_convex(a, b)
+    if len(inter) < 3:
+        return 0.0
+    return polygon_area(inter)
+
+
+def poly_union_area(a, b) -> float:
+    """area(a) + area(b) − inter (poly_union, utils.py:157-174)."""
+    return polygon_area(a) + polygon_area(b) - poly_intersection_area(a, b)
+
+
+def poly_iou(a, b) -> float:
+    """IoU of two polygons (poly_iou, utils.py:194-210). 0 when the
+    union is degenerate (both zero-area)."""
+    inter = poly_intersection_area(a, b)
+    union = polygon_area(a) + polygon_area(b) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def offset_polygon(poly, d: float) -> np.ndarray:
+    """Offset a CONVEX polygon by signed distance ``d`` (+ = outward,
+    − = inward/shrink) with miter joins: each edge line moves by |d|
+    along its outward normal; new vertices are adjacent-line
+    intersections. For a convex polygon and |d| smaller than the
+    inradius this is the exact inset/offset polygon. Returns an empty
+    array when the inset collapses (the pyclipper-returns-[] analog that
+    flips ignore flags in generate_kernels)."""
+    p = _ccw(_as_pts(poly))
+    n = len(p)
+    if n < 3:
+        return np.empty((0, 2))
+    edges = np.roll(p, -1, axis=0) - p
+    lens = np.sqrt((edges ** 2).sum(axis=1))
+    if (lens == 0).any():
+        keep = lens > 0
+        p = p[keep]
+        return offset_polygon(p, d) if len(p) >= 3 else np.empty((0, 2))
+    # outward normal of CCW edge (dx,dy) is (dy,-dx)/len
+    nx = edges[:, 1] / lens
+    ny = -edges[:, 0] / lens
+    # shifted edge lines: point p_i + d*normal_i, direction edges[i]
+    sp = p + d * np.stack([nx, ny], axis=1)
+    out = []
+    for i in range(n):
+        j = (i - 1) % n
+        # intersect line j (through sp[j], dir e_j) with line i
+        e1, e2 = edges[j], edges[i]
+        denom = e1[0] * e2[1] - e1[1] * e2[0]
+        if denom == 0:  # collinear adjacent edges: vertex moves by normal
+            out.append(sp[i])
+            continue
+        dv = sp[i] - sp[j]
+        t = (dv[0] * e2[1] - dv[1] * e2[0]) / denom
+        out.append(sp[j] + t * e1)
+    q = np.array(out)
+    if d < 0:
+        # collapsed inset: an over-large inset inverts the polygon
+        # through its center, which PRESERVES orientation — so detect
+        # collapse edge-wise: every offset edge must keep its source
+        # edge's direction (vertex i sits between edges i-1 and i, so
+        # new edge i ↔ old edge i)
+        new_edges = np.roll(q, -1, axis=0) - q
+        if ((new_edges * edges).sum(axis=1) <= 0).any() \
+                or polygon_area(q) <= 0:
+            return np.empty((0, 2))
+    return q
+
+
+def shrink_polygon(poly, shrink_ratio: float) -> np.ndarray:
+    """DBNet kernel shrink (base_textdet_targets.py:110-116):
+    d = area·(1−r²)/(peri+0.001), inward offset. Float-exact (the
+    reference rounds d to int for pyclipper's integer grid)."""
+    area = polygon_area(poly)
+    peri = polygon_perimeter(poly)
+    d = area * (1.0 - shrink_ratio * shrink_ratio) / (peri + 0.001)
+    return offset_polygon(poly, -d)
+
+
+def unclip_polygon(poly, unclip_ratio: float = 1.5) -> np.ndarray:
+    """db_decode unclip (wrapper.py:168-174): d = area·ratio/length,
+    outward offset with miter joins (JT_ROUND divergence documented in
+    the module docstring)."""
+    area = polygon_area(poly)
+    peri = polygon_perimeter(poly)
+    if peri == 0:
+        return np.empty((0, 2))
+    d = area * unclip_ratio / peri
+    return offset_polygon(poly, d)

@@ -241,6 +241,192 @@ def hmean_ranklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.orderBy(F.asc("n_gt"), F.asc("img")).limit(10)
 
 
+_QUAD_GT_SQL = """
+    SELECT o_orderkey AS gt_id,
+           o_orderkey % 2000 AS img,
+           CAST(o_orderkey % 97 AS DOUBLE) AS x0,
+           CAST(o_orderkey % 83 AS DOUBLE) AS y0,
+           CAST(o_orderkey % 97 + 15 + o_orderkey % 23 AS DOUBLE) AS x1,
+           CAST(o_orderkey % 83 + 12 + o_orderkey % 19 AS DOUBLE) AS y1
+    FROM orders
+"""
+_QUAD_PRED_SQL = """
+    SELECT l_orderkey * 10 + l_linenumber AS pred_id,
+           l_orderkey % 2000 AS img,
+           CAST(l_partkey % 97 AS DOUBLE) AS x0,
+           CAST(l_suppkey % 83 AS DOUBLE) AS y0,
+           CAST(l_partkey % 97 + 14 + l_partkey % 25 AS DOUBLE) AS x1,
+           CAST(l_suppkey % 83 + 11 + l_linenumber * 4 AS DOUBLE) AS y1
+    FROM lineitem
+"""
+
+
+def _quad_tables(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    gt = o.select(
+        k.alias("gt_id"), (k % 2000).alias("img"),
+        (k % 97).cast("double").alias("x0"),
+        (k % 83).cast("double").alias("y0"),
+        (k % 97 + 15 + k % 23).cast("double").alias("x1"),
+        (k % 83 + 12 + k % 19).cast("double").alias("y1"))
+    li = t(spark, sf_dir, "lineitem")
+    pred = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pred_id"),
+        (F.col("l_orderkey") % 2000).alias("img"),
+        (F.col("l_partkey") % 97).cast("double").alias("x0"),
+        (F.col("l_suppkey") % 83).cast("double").alias("y0"),
+        (F.col("l_partkey") % 97 + 14 + F.col("l_partkey") % 25)
+        .cast("double").alias("x1"),
+        (F.col("l_suppkey") % 83 + 11 + F.col("l_linenumber") * 4)
+        .cast("double").alias("y1"))
+    return gt, pred
+
+
+_IOU2D_OUT = T.StructType([
+    T.StructField("gt_id", T.LongType(), False),
+    T.StructField("pred_id", T.LongType(), False),
+    T.StructField("inter", T.LongType(), False),
+    T.StructField("iou", T.DoubleType(), False),
+])
+
+
+@query(
+    "poly_iou_match_2d",
+    oracle=f"""
+    WITH gt AS ({_QUAD_GT_SQL}), pred AS ({_QUAD_PRED_SQL}),
+    pairs AS (
+        SELECT g.gt_id, p.pred_id,
+               CAST(greatest(CAST(0 AS DOUBLE),
+                             least(g.x1, p.x1) - greatest(g.x0, p.x0))
+                    * greatest(CAST(0 AS DOUBLE),
+                               least(g.y1, p.y1) - greatest(g.y0, p.y0))
+                    AS BIGINT) AS inter,
+               (g.x1 - g.x0) * (g.y1 - g.y0)
+                   + (p.x1 - p.x0) * (p.y1 - p.y0) AS sum_areas
+        FROM gt g JOIN pred p ON g.img = p.img
+        WHERE least(g.x1, p.x1) > greatest(g.x0, p.x0)
+          AND least(g.y1, p.y1) > greatest(g.y0, p.y0)
+    )
+    SELECT gt_id, pred_id, inter,
+           CAST(inter AS DOUBLE) / (sum_areas - inter) AS iou
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (sum_areas - inter) > CAST(0.3 AS DOUBLE)
+    """,
+)
+def poly_iou_match_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE 2-D polygon IoU matching (poly_intersection/poly_union/
+    poly_iou, ``mmocr/core/evaluation/utils.py:138-210``) — upgrades the
+    engine's IoU surface from 1-D intervals to real geometry via the
+    pure-numpy Sutherland–Hodgman kernel (kernel/polyclip.py).
+
+    Scale shape: equi-join on img bounds the pair count; a CHEAP JVM
+    bbox-overlap predicate prunes pairs before the Arrow-batched clip
+    kernel sees them (expensive geometry only on plausible pairs).
+    Determinism: integer-valued coords make the clipped area an exact
+    integer, so `inter` is rounded to BIGINT and the IoU division is
+    bit-identical to the closed-form DuckDB oracle — no float rounding
+    anywhere."""
+    from my_ocr_spark.kernel import polyclip as pc
+
+    gt, pred = _quad_tables(spark, sf_dir)
+    g = gt.alias("g")
+    p = pred.alias("p")
+    cond = ((F.col("g.img") == F.col("p.img"))
+            & (F.least("g.x1", "p.x1") > F.greatest("g.x0", "p.x0"))
+            & (F.least("g.y1", "p.y1") > F.greatest("g.y0", "p.y0")))
+    pairs = g.join(p, cond).select(
+        "g.gt_id", "p.pred_id",
+        F.col("g.x0").alias("gx0"), F.col("g.y0").alias("gy0"),
+        F.col("g.x1").alias("gx1"), F.col("g.y1").alias("gy1"),
+        F.col("p.x0").alias("px0"), F.col("p.y0").alias("py0"),
+        F.col("p.x1").alias("px1"), F.col("p.y1").alias("py1"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            inter_l, iou_l = [], []
+            for r in pdf.itertuples(index=False):
+                a = [r.gx0, r.gy0, r.gx1, r.gy0, r.gx1, r.gy1, r.gx0, r.gy1]
+                b = [r.px0, r.py0, r.px1, r.py0, r.px1, r.py1, r.px0, r.py1]
+                inter = int(round(pc.poly_intersection_area(a, b)))
+                sum_areas = ((r.gx1 - r.gx0) * (r.gy1 - r.gy0)
+                             + (r.px1 - r.px0) * (r.py1 - r.py0))
+                inter_l.append(inter)
+                iou_l.append(inter / (sum_areas - inter))
+            yield pd.DataFrame({
+                "gt_id": pdf["gt_id"], "pred_id": pdf["pred_id"],
+                "inter": pd.Series(inter_l, dtype="int64"),
+                "iou": pd.Series(iou_l, dtype="float64")})
+
+    out = pairs.mapInPandas(run, schema=_IOU2D_OUT)
+    return out.filter(F.col("iou") > 0.3)
+
+
+@query(
+    "polygon_shrink_inset",
+    oracle="""
+    WITH poly AS (
+        SELECT o_orderkey AS poly_id,
+               CAST(10 + o_orderkey % 60 AS DOUBLE) AS w,
+               CAST(8 + o_orderkey % 40 AS DOUBLE) AS h
+        FROM orders
+    ),
+    calc AS (
+        SELECT poly_id, w, h,
+               w * h * (CAST(1 AS DOUBLE)
+                        - CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+                 / (2 * (w + h) + CAST(0.001 AS DOUBLE)) AS inset_d
+        FROM poly
+    )
+    SELECT poly_id, inset_d,
+           round((w - 2 * inset_d) * (h - 2 * inset_d), 4) AS inset_area
+    FROM calc
+    """,
+)
+def polygon_shrink_inset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBNet kernel shrink (base_textdet_targets.py:110-116): offset
+    distance d = area·(1−r²)/(peri+0.001), inward vertex-normal inset
+    (kernel/polyclip.py — the pyclipper-free exact form for convex
+    polys). Oracle: closed form on rectangles (inset by d on each side).
+    `inset_d` is bit-identical across engines (same IEEE op sequence on
+    integer-valued inputs → emitted raw); the inset AREA goes through
+    the generic offset kernel, so it is rounded to 4dp on both sides."""
+    from my_ocr_spark.kernel import polyclip as pc
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = o.select(
+        k.alias("poly_id"),
+        (k % 60 + 10).cast("double").alias("w"),
+        (k % 40 + 8).cast("double").alias("h"))
+
+    out_schema = T.StructType([
+        T.StructField("poly_id", T.LongType(), False),
+        T.StructField("inset_d", T.DoubleType(), False),
+        T.StructField("inset_area", T.DoubleType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ds, areas = [], []
+            for w, h in zip(pdf["w"], pdf["h"]):
+                rect = [0.0, 0.0, w, 0.0, w, h, 0.0, h]
+                area = pc.polygon_area(rect)
+                peri = pc.polygon_perimeter(rect)
+                d = area * (1.0 - 0.4 * 0.4) / (peri + 0.001)
+                inset = pc.shrink_polygon(rect, 0.4)
+                ds.append(d)
+                areas.append(pc.polygon_area(inset) if len(inset) else 0.0)
+            yield pd.DataFrame({
+                "poly_id": pdf["poly_id"],
+                "inset_d": pd.Series(ds, dtype="float64"),
+                "inset_area": pd.Series(areas, dtype="float64")})
+
+    out = src.mapInPandas(run, schema=out_schema)
+    return out.select("poly_id", "inset_d",
+                      F.round("inset_area", 4).alias("inset_area"))
+
+
 @query(
     "stitch_words_gap_split",
     oracle="""

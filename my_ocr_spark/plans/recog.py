@@ -174,6 +174,61 @@ def ic13_one2many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "attn_decode_stop_eos",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT o_orderkey AS seq_id,
+               list_transform(generate_series(1, 12),
+                   j -> CAST((o_orderkey * j + o_custkey + j * j) % 39
+                        AS INTEGER)) AS raw
+        FROM orders
+    ),
+    dec AS (
+        SELECT seq_id,
+               list_filter(raw, x -> x != 38) AS no_pad
+        FROM seqs
+    ),
+    cut AS (
+        SELECT seq_id,
+               CASE WHEN coalesce(list_position(no_pad, 37), 0) > 0
+                    THEN no_pad[1:coalesce(list_position(no_pad, 37), 0) - 1]
+                    ELSE no_pad END AS dec_idx
+        FROM dec
+    )
+    SELECT seq_id,
+           coalesce(array_to_string(
+               list_transform(dec_idx, i -> {_IDX_CASE}), ''), '')
+               AS decoded,
+           CAST(len(dec_idx) AS BIGINT) AS n_dec
+    FROM cut
+    """,
+)
+def attn_decode_stop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-decoder greedy decode (convertors/attn.py:109-140):
+    skip <PAD>(38), STOP at the first <BOS/EOS>(37), map surviving
+    indices through DICT36 + '?' for <UKN>(36). Pure array expressions
+    on both engines (filter → array_position → slice → transform) —
+    the third of the reference's three decode families (CTC and seg
+    convertors are ctc_collapse_repeats / seg_decode_concat). Kernel
+    twin: codec.attn_greedy_decode (parity-tested)."""
+    o = t(spark, sf_dir, "orders")
+    raw = F.expr(
+        "transform(sequence(1, 12),"
+        " j -> CAST((o_orderkey * j + o_custkey + j * j) % 39 AS INT))")
+    s = o.select(F.col("o_orderkey").alias("seq_id"), raw.alias("raw"))
+    s = s.withColumn("no_pad", F.filter("raw", lambda x: x != 38))
+    pos = F.array_position("no_pad", 37)  # 1-based; 0 when absent
+    s = s.withColumn(
+        "dec_idx",
+        F.when(pos > 0, F.slice("no_pad", F.lit(1), (pos - 1).cast("int")))
+        .otherwise(F.col("no_pad")))
+    decoded = F.expr(f"array_join(transform(dec_idx, i -> {_IDX_CASE}), '')")
+    return s.select(
+        "seq_id", decoded.alias("decoded"),
+        F.size("dec_idx").cast("bigint").alias("n_dec"))
+
+
+@query(
     "resize_metadata_rescale",
     oracle="""
     SELECT o_orderkey AS doc_key,
