@@ -190,46 +190,37 @@ _DECODE_OUT = T.StructType([
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_frames", T.IntegerType(), True),
     T.StructField("feature_l2", T.DoubleType(), True),
+    T.StructField("decoder", T.StringType(), False),
 ])
 
 
-@query("multimodal_decode_stub")  # decode libs absent in container → stub
+@query("multimodal_decode_stub")  # no image libs in container → stub path
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column processing: binary payload → typed metadata +
-    feature vector. The Spark plumbing (schema, Arrow batching, partition
-    locality) is real; the decode itself is a clearly-marked deterministic
-    fake (image/audio libraries are not in this container).
-
-    Production swap-in point: replace _fake_decode with PIL/ffmpeg calls
-    inside the same mapInPandas iterator (per-executor lazy init, like the
-    reference's LMDB env cache, loader.py:156-165)."""
-    import hashlib
-
-    import numpy as np
-
-    def _fake_decode(payload: bytes):
-        # deterministic pseudo-decode keyed on content hash; a real decoder
-        # raises NotImplementedError here if the lib is missing.
-        h = hashlib.md5(payload).digest()
-        width = 320 + h[0] % 16 * 80
-        height = 240 + h[1] % 16 * 60
-        n_frames = 1 + h[2] % 8
-        vec = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
-        return width, height, n_frames, float(np.sqrt((vec ** 2).sum()))
+    feature vector (LoadImageFromFile/LMDB analog, loading.py:84-184).
+    The Spark plumbing (schema, Arrow batching, partition locality) is
+    real; the decode is GUARDED — operators/multimodal.py probes for
+    PIL/OpenCV once per executor and decodes real payloads when a
+    library exists, falling back to the labeled deterministic stub
+    otherwise (this container has no image libs, so the driver sees the
+    stub path; the `decoder` column reports which path ran)."""
+    from my_ocr_spark.operators.multimodal import decode_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "media_type", "width",
-                                    "height", "n_frames", "feature_l2")}
+                                    "height", "n_frames", "feature_l2",
+                                    "decoder")}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = (text or "").encode("utf-8")
-                w, h, nf, l2 = _fake_decode(payload)
+                w, h, nf, l2, dec = decode_payload(payload)
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append("image" if doc_id % 3 else "video")
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_frames"].append(nf if doc_id % 3 == 0 else 1)
                 rows["feature_l2"].append(l2)
+                rows["decoder"].append(dec)
             yield pd.DataFrame(rows)
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
@@ -425,6 +426,108 @@ def polygon_shrink_inset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = src.mapInPandas(run, schema=out_schema)
     return out.select("poly_id", "inset_d",
                       F.round("inset_area", 4).alias("inset_area"))
+
+
+@query(
+    "min_connect_path_order",
+    oracle="""
+    WITH pts AS (
+        SELECT DISTINCT l_orderkey % 1000 AS img,
+               CAST(l_partkey % 500 AS BIGINT) AS x
+        FROM lineitem
+    )
+    SELECT img, CAST(row_number() OVER (PARTITION BY img ORDER BY x)
+                AS BIGINT) AS seq, x AS pid
+    FROM pts
+    """,
+)
+def min_connect_path_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_connect_path (wrapper.py:690-741): greedy two-ended nearest
+    chaining of component centers into a traversal order, per image in
+    applyInPandas (kernel/pathops.py). Oracle trick: on COLLINEAR points
+    the greedy path provably visits in coordinate order, so the
+    canonical traversal equals a row_number over x — an exact SQL check
+    of a sequential graph algorithm. Generic 2-D behavior is
+    golden-tested in tests/test_pathops.py."""
+    from my_ocr_spark.kernel.pathops import canonical_path_order
+
+    li = t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") % 1000).alias("img"),
+        (F.col("l_partkey") % 500).cast("bigint").alias("x")).distinct()
+
+    out_schema = T.StructType([
+        T.StructField("img", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("pid", T.LongType(), False),
+    ])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"img": [], "seq": [], "pid": []}
+        for img, g in pdf.groupby("img", sort=False):
+            xs = g["x"].to_numpy()
+            pts2 = [[float(x), 0.0] for x in xs]
+            order = canonical_path_order(pts2)
+            out["img"].extend([img] * len(order))
+            out["seq"].extend(range(1, len(order) + 1))
+            out["pid"].extend(int(xs[i]) for i in order)
+        return pd.DataFrame(out, dtype="int64") if out["img"] else \
+            pd.DataFrame({c: pd.Series(dtype="int64") for c in out})
+
+    bucketed = pts.withColumn("_b", F.pmod(F.col("img"), F.lit(128)))
+    return bucketed.groupBy("_b").applyInPandas(
+        lambda pdf: run(pdf), schema=out_schema)
+
+
+_DISKS_OUT = T.StructType([
+    T.StructField("img", T.LongType(), False),
+    T.StructField("mx", T.DoubleType(), False),
+    T.StructField("my", T.DoubleType(), False),
+    T.StructField("mr", T.DoubleType(), False),
+    T.StructField("mscore", T.DoubleType(), False),
+])
+
+
+@query("merge_disks_greedy")  # greedy sequential merge → rows-only
+def merge_disks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextSnake merge_disks (wrapper.py:275-303): greedy score-ordered
+    merge of overlapping center disks, merged disk = group mean — per
+    image in applyInPandas over the kernel (exact goldens in
+    tests/test_pathops.py). Stable score-tie break by input index
+    (documented divergence from the reference's unstable argsort)."""
+    from my_ocr_spark.kernel.pathops import merge_disks
+
+    li = t(spark, sf_dir, "lineitem")
+    disks = li.select(
+        (F.col("l_orderkey") % 1000).alias("img"),
+        (F.col("l_partkey") % 300).cast("double").alias("x"),
+        (F.col("l_suppkey") % 200).cast("double").alias("y"),
+        (F.col("l_linenumber") * 3 + 5).cast("double").alias("r"),
+        F.round(F.col("l_discount") * 10, 2).alias("score"))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"img": [], "mx": [], "my": [], "mr": [], "mscore": []}
+        for img, g in pdf.groupby("img", sort=False):
+            arr = g[["x", "y", "r", "score"]].to_numpy()
+            # deterministic input order for the tie-break: sort rows
+            arr = arr[np.lexsort((arr[:, 3], arr[:, 2], arr[:, 1],
+                                  arr[:, 0]))]
+            for mx, my, mr, ms in merge_disks(arr, 0.5):
+                out["img"].append(int(img))
+                out["mx"].append(round(mx, 4))
+                out["my"].append(round(my, 4))
+                out["mr"].append(round(mr, 4))
+                out["mscore"].append(round(ms, 4))
+        return pd.DataFrame(out) if out["img"] else pd.DataFrame({
+            "img": pd.Series(dtype="int64"),
+            "mx": pd.Series(dtype="float64"),
+            "my": pd.Series(dtype="float64"),
+            "mr": pd.Series(dtype="float64"),
+            "mscore": pd.Series(dtype="float64")})
+
+    bucketed = disks.withColumn("_b", F.pmod(F.col("img"), F.lit(128)))
+    return bucketed.groupBy("_b").applyInPandas(
+        lambda pdf: run(pdf), schema=_DISKS_OUT)
 
 
 @query(

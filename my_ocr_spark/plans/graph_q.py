@@ -12,6 +12,56 @@ from my_ocr_spark.operators.graph import connected_components, \
 from my_ocr_spark.plans.registry import query, t
 
 
+@query(
+    "drrg_local_knn",
+    oracle="""
+    WITH raw AS (
+        SELECT DISTINCT l_orderkey % 2000 AS img,
+               CAST(l_partkey % 200 AS BIGINT) AS x,
+               CAST(l_suppkey % 150 AS BIGINT) AS y
+        FROM lineitem
+    ),
+    pts AS (
+        SELECT img, x * 150 + y AS pid, x, y FROM raw
+    ),
+    pairs AS (
+        SELECT a.img, a.pid AS src_id, b.pid AS neighbor_id,
+               (a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y) AS dist2
+        FROM pts a JOIN pts b ON a.img = b.img AND a.pid <> b.pid
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY img, src_id
+                                     ORDER BY dist2, neighbor_id) AS rnk
+        FROM pairs
+    )
+    SELECT img, src_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 4
+    """,
+)
+def drrg_local_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRRG local-graph KNN (local_graph.py:29-296): k-nearest neighbors
+    of every text component WITHIN its image, ordered by (squared
+    Euclidean distance, neighbor id). Grouped operator — points shuffle
+    once on img, each group's distance matrix stays in one Arrow batch,
+    tiny groups bucketed 256-way (see operators/knn.py). Components are
+    DISTINCT coordinate points (pid = x*150+y is unique within an img by
+    construction — the synthetic lineitem has no unique natural key).
+    Oracle: the equivalent windowed self-join (exact: integer coords →
+    integer dist2, deterministic tie-break)."""
+    from my_ocr_spark.operators.knn import knn_per_group
+
+    li = t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.col("l_orderkey") % 2000).alias("img"),
+        (F.col("l_partkey") % 200).cast("bigint").alias("x"),
+        (F.col("l_suppkey") % 150).cast("bigint").alias("y")).distinct()
+    pts = raw.select(
+        "img", (F.col("x") * 150 + F.col("y")).alias("pid"), "x", "y")
+    return knn_per_group(pts, k=4)
+
+
 @query("connected_components")  # iterative fixpoint → rows-only
 def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CC via min-label propagation + pointer jumping (the
