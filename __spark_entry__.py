@@ -37,6 +37,7 @@ def _load_registry():
     import my_ocr_spark.plans.recog  # noqa: F401
     import my_ocr_spark.plans.graph_q  # noqa: F401
     import my_ocr_spark.plans.ner  # noqa: F401
+    import my_ocr_spark.plans.converters  # noqa: F401
 
     return registry
 

@@ -70,6 +70,35 @@ def attn_greedy_decode(indices: list[int]) -> list[int]:
     return out
 
 
+def ctc_topk_select(
+    scores: list[list[float]],
+    blank: int,
+    valid_ratio: float = 1.0,
+    k: int = 2,
+) -> list[tuple[int, list[int], list[float]]]:
+    """Per-timestep top-k CTC decode (ctc.py:85-140 ``tensor2idx`` with
+    ``return_topk=True``): the top-1 path drives the CTC timestep
+    selection (keep t when top1[t] != blank and top1[t] != top1[t-1],
+    prev of t=0 is blank), restricted to the first
+    ``ceil(T * valid_ratio)`` timesteps; each selected timestep emits
+    its top-k (class, score) pairs. Scores are used raw (argsort is
+    invariant under the reference's softmax)."""
+    import math
+
+    feat_len = len(scores)
+    decode_len = min(feat_len, math.ceil(feat_len * valid_ratio))
+    out: list[tuple[int, list[int], list[float]]] = []
+    prev = blank
+    for t in range(decode_len):
+        row = scores[t]
+        order = sorted(range(len(row)), key=lambda c: (-row[c], c))
+        top1 = order[0]
+        if top1 != prev and top1 != blank:
+            out.append((t, order[:k], [row[c] for c in order[:k]]))
+        prev = top1
+    return out
+
+
 def char_true_positives(pred: str, gt: str) -> int:
     """LCS-matched character count (ocr_metric.py:7-25 semantics:
     SequenceMatcher matching blocks)."""

@@ -225,3 +225,75 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(run, schema=_DECODE_OUT)
+
+
+_AUDIT_OUT = T.StructType([
+    T.StructField("doc_key", T.LongType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("orientation", T.IntegerType(), True),
+    T.StructField("needs_rewrite", T.BooleanType(), False),
+    T.StructField("not_png", T.BooleanType(), False),
+    T.StructField("target_ext", T.StringType(), False),
+])
+
+
+@query(
+    "payload_format_audit",
+    oracle="""
+    SELECT o_orderkey AS doc_key,
+           CASE o_orderkey % 4 WHEN 2 THEN 'png' WHEN 3 THEN 'unknown'
+                ELSE 'jpeg' END AS fmt,
+           CASE WHEN o_orderkey % 4 = 0
+                THEN CAST(o_orderkey % 8 + 1 AS INTEGER) END AS orientation,
+           o_orderkey % 4 = 0 AND o_orderkey % 8 + 1 BETWEEN 5 AND 8
+               AS needs_rewrite,
+           o_orderkey % 4 != 2 AS not_png,
+           CASE WHEN o_orderkey % 4 = 2 THEN '.png'
+                WHEN o_orderkey % 4 = 0 AND o_orderkey % 8 + 1 BETWEEN 5
+                     AND 8 THEN '.png'
+                WHEN o_orderkey % 4 IN (0, 1) THEN '.jpg'
+                ELSE '' END AS target_ext
+    FROM orders
+    """,
+)
+def payload_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_orientation / is_not_png as a metadata-only byte audit
+    (mmocr/utils/img_util.py:6-51): the Spark side BUILDS a real byte
+    payload per key (JPEG with an EXIF APP1 Orientation tag, plain JPEG,
+    PNG, or garbage — keyed on doc_key % 4), then walks the actual JPEG
+    segment chain / TIFF IFD with kernel.imagemeta — no pixel decode, so
+    it scales to a 100 TB payload column. The oracle predicts the same
+    decisions in closed form from the keyed construction (the
+    extract_maincontent md5-oracle pattern). needs_rewrite is True
+    exactly when the reference's oriented-vs-raw decode shapes would
+    disagree: EXIF orientation 5-8."""
+    from my_ocr_spark.kernel.imagemeta import (
+        PNG_MAGIC, build_jpeg_with_exif, orientation_plan)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_key", "fmt", "orientation",
+                                    "needs_rewrite", "not_png",
+                                    "target_ext")}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                cls = k % 4
+                if cls == 0:
+                    payload = build_jpeg_with_exif(k % 8 + 1, seed=k)
+                elif cls == 1:
+                    payload = build_jpeg_with_exif(None, seed=k)
+                elif cls == 2:
+                    payload = PNG_MAGIC + b"synthetic-png-%d" % k
+                else:
+                    payload = b"GARBAGE-%d" % k
+                fmt, orient, needs, ext = orientation_plan(payload)
+                rows["doc_key"].append(k)
+                rows["fmt"].append(fmt)
+                rows["orientation"].append(orient)
+                rows["needs_rewrite"].append(needs)
+                rows["not_png"].append(fmt != "png")
+                rows["target_ext"].append(ext)
+            yield pd.DataFrame(rows)
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    return o.mapInPandas(run, schema=_AUDIT_OUT)

@@ -229,6 +229,103 @@ def attn_decode_stop_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ctc_topk_decode",
+    oracle="""
+    WITH seqs AS (
+        SELECT o_orderkey AS seq_id,
+               CAST((o_orderkey % 4 + 1) * 2 AS INTEGER) AS dlen
+        FROM orders
+    ),
+    tops AS (
+        SELECT seq_id, dlen,
+               list_transform(generate_series(0, 7), t ->
+                   list_position(
+                       list_transform(generate_series(0, 5), c ->
+                           (seq_id * 7 + t * 13 + c * 31) % 97),
+                       list_max(list_transform(generate_series(0, 5), c ->
+                           (seq_id * 7 + t * 13 + c * 31) % 97))) - 1
+               ) AS tops
+        FROM seqs
+    ),
+    sel AS (
+        SELECT seq_id,
+               unnest(list_filter(generate_series(0, dlen - 1), t ->
+                   tops[t + 1] != 5
+                   AND (t = 0 OR tops[t + 1] != tops[t]))) AS t_sel
+        FROM tops
+    ),
+    scored AS (
+        SELECT seq_id, t_sel,
+               list_transform(generate_series(0, 5), c ->
+                   (seq_id * 7 + t_sel * 13 + c * 31) % 97) AS raws
+        FROM sel
+    ),
+    ranked AS (
+        SELECT seq_id, t_sel, raws,
+               list_max(raws) AS m1,
+               list_position(raws, list_max(raws)) - 1 AS i1
+        FROM scored
+    ),
+    r2 AS (
+        SELECT seq_id, t_sel, raws, m1, i1,
+               list_max(list_transform(generate_series(0, 5), c ->
+                   CASE WHEN c = i1 THEN -1 ELSE raws[c + 1] END)) AS m2
+        FROM ranked
+    )
+    SELECT seq_id,
+           CAST(t_sel AS INTEGER) AS t_sel,
+           CAST(i1 AS INTEGER) AS top1_idx,
+           CAST(list_position(raws, m2) - 1 AS INTEGER) AS top2_idx,
+           CAST(m1 AS DOUBLE) / CAST(list_aggregate(raws, 'sum') AS DOUBLE)
+               AS top1_share,
+           CAST(m2 AS DOUBLE) / CAST(list_aggregate(raws, 'sum') AS DOUBLE)
+               AS top2_share
+    FROM r2
+    """,
+)
+def ctc_topk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-timestep top-k CTC decode (convertors/ctc.py:85-140,
+    ``tensor2idx`` with ``return_topk=True``): synthesize a T=8 x C=6
+    integer score grid per sequence, take the top-1 path through it,
+    keep the CTC-selected timesteps (top1 != blank(5), != prev top1,
+    within ``decode_len = ceil(T * valid_ratio)`` — here exactly
+    ``(key%4+1)*2``), and emit top-2 class + exact score-mass share per
+    selected timestep. Shares are rational (int / int in DOUBLE) rather
+    than softmax — argsort-equivalent and bit-identical cross-engine.
+    Kernel twin: codec.ctc_topk_select (parity-tested)."""
+    o = t(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderkey").alias("seq_id"),
+        ((F.col("o_orderkey") % 4 + 1) * 2).cast("int").alias("dlen"))
+    s = s.withColumn("tops", F.expr(
+        "transform(sequence(0, 7), t -> array_position("
+        " transform(sequence(0, 5),"
+        "  c -> (seq_id * 7 + t * 13 + c * 31) % 97),"
+        " array_max(transform(sequence(0, 5),"
+        "  c -> (seq_id * 7 + t * 13 + c * 31) % 97))) - 1)"))
+    s = s.withColumn("t_sel", F.explode(F.expr(
+        "filter(sequence(0, dlen - 1), t ->"
+        " element_at(tops, t + 1) != 5"
+        " AND (t = 0 OR element_at(tops, t + 1) != element_at(tops, t)))")))
+    s = s.withColumn("raws", F.expr(
+        "transform(sequence(0, 5),"
+        " c -> (seq_id * 7 + t_sel * 13 + c * 31) % 97)"))
+    s = (s.withColumn("m1", F.expr("array_max(raws)"))
+          .withColumn("i1", F.expr("array_position(raws, m1) - 1"))
+          .withColumn("m2", F.expr(
+              "array_max(transform(raws, (x, c) -> if(c = i1, -1, x)))")))
+    total = F.expr("aggregate(raws, 0L, (a, x) -> a + x)").cast("double")
+    return s.select(
+        "seq_id",
+        F.col("t_sel").cast("int").alias("t_sel"),
+        F.col("i1").cast("int").alias("top1_idx"),
+        (F.expr("array_position(raws, m2)") - 1).cast("int")
+            .alias("top2_idx"),
+        (F.col("m1").cast("double") / total).alias("top1_share"),
+        (F.col("m2").cast("double") / total).alias("top2_share"))
+
+
+@query(
     "resize_metadata_rescale",
     oracle="""
     SELECT o_orderkey AS doc_key,
