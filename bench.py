@@ -70,7 +70,8 @@ def main() -> None:
         "ngram_jaccard_dups",       # inverted-index dedup join
         "embedding_cosine_topk",    # similarity search
         "minhash_lsh_candidates",   # LSH dedup (pandas UDF + band join)
-        "pdf_reading_order",        # layout branch (applyInPandas)
+        "pdf_reading_order",        # layout branch (streaming grouped map)
+        "interval_range_join",      # banded range join (sparse overlaps)
     ]
     timings: dict[str, float] = {}
     for name in headline:

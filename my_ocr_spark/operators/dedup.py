@@ -100,22 +100,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         F.col(text_col).alias("_text"))
                 .mapInPandas(gen, schema=sh_schema))
     sh = sh.filter(F.col("shingle") != "")
+    # Postings-list inverted index: ONE aggregation keyed by shingle
+    # carries both df and the (sorted) posting list, so the expensive
+    # shingle generation scans the corpus exactly once — the naive
+    # sh-self-join form re-evaluates the generation per join side and per
+    # sizes/df aggregate (measured: MapInPandas appeared 8x in the
+    # physical plan, no exchange reuse). Pairs explode from postings with
+    # df<=cap, so pair fan-out per shingle is bounded by cap^2/2; a
+    # shingle's in-aggregation buffer is the residual skew cost (8B*df
+    # before the filter drops it; Spark's sort-based collect fallback
+    # spills groups to disk rather than OOM).
+    postings = (sh.groupBy("shingle")
+                  .agg(F.count("*").alias("df_"),
+                       F.sort_array(F.collect_list("doc")).alias("docs")))
     if df_cap is not None:
-        # enforce the document-frequency cap: anti-join against the tiny
-        # set of over-common shingles (broadcasts; one extra agg on the
-        # already-shuffled shingle key)
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-                 .filter(F.col("df_") > df_cap)
-                 .select("shingle"))
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.doc") < F.col("b.doc")))
-              .groupBy(F.col("a.doc").alias("doc1"),
-                       F.col("b.doc").alias("doc2"))
-              .agg(F.count("*").alias("shared")))
+        postings = postings.filter(F.col("df_") <= df_cap)
+    sizes = (postings.select(F.explode("docs").alias("doc"))
+                     .groupBy("doc").agg(F.count("*").alias("sz")))
+    pairs = (postings.filter(F.col("df_") >= 2)
+             .select(F.explode(F.expr(
+                 "flatten(transform(docs, (d1, i) ->"
+                 " transform(slice(docs, i + 2, size(docs)),"
+                 "  d2 -> struct(d1 AS doc1, d2 AS doc2))))")).alias("p"))
+             .select("p.doc1", "p.doc2"))
+    shared = (pairs.groupBy("doc1", "doc2")
+                   .agg(F.count("*").alias("shared")))
     s1 = sizes.select(F.col("doc").alias("doc1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc").alias("doc2"), F.col("sz").alias("sz2"))
     j = (shared.join(s1, "doc1").join(s2, "doc2")

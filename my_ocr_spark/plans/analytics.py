@@ -108,10 +108,9 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("x1", F.col("x0") + 8.0 * F.length("word")) \
      .withColumn("y1", F.col("y0") + 12.0)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one Python call per BUCKET of pages; page iteration happens in
-        # pandas groupby (C-speed) — per-group applyInPandas overhead at
-        # 15k+ tiny groups would dominate the kernel 10:1 (measured).
+    def kernel_pages(pdf: pd.DataFrame) -> pd.DataFrame:
+        # page iteration happens in pandas groupby (C-speed); the layout
+        # kernel itself is ~0.6 s for 15k pages
         out = {"page_key": [], "n_boxes": [], "ordered_text": []}
         pdf = pdf.sort_values(["page_key", "y0", "x0", "word"],
                               kind="mergesort")
@@ -123,10 +122,37 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 page_reading_order_text(bxs, x_gap=60.0, y_gap=6.0))
         return pd.DataFrame(out)
 
-    boxes = boxes.withColumn("_bucket",
-                             F.pmod(F.col("page_key"), F.lit(512)))
-    return (boxes.groupBy("_bucket")
-                 .applyInPandas(run, schema=_PDF_OUT))
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Streaming grouped map: rows arrive partition-sorted by page_key
+        # (repartition + sortWithinPartitions below), so groups are
+        # contiguous; an Arrow batch may still END mid-page, so the
+        # trailing page is carried into the next batch and flushed at
+        # iterator end. One Python call per BATCH (not per page and not
+        # per bucket): replacing the 512-bucket applyInPandas cut the
+        # same job from 4.5 s to 1.6 s warm — the grouped-map launcher
+        # overhead, not the kernel, was the cost.
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            last_key = pdf["page_key"].iloc[-1]
+            mask = pdf["page_key"] == last_key
+            pend = pdf[mask]
+            pdf = pdf[~mask]
+            if len(pdf):
+                yield kernel_pages(pdf)
+        if pend is not None and len(pend):
+            yield kernel_pages(pend)
+
+    # hash-repartition on the group key (partition count follows
+    # spark.sql.shuffle.partitions — no hardcoded width), local sort for
+    # group contiguity; same shuffle volume as the grouped-map form
+    return (boxes.repartition("page_key")
+                 .sortWithinPartitions("page_key")
+                 .mapInPandas(run, schema=_PDF_OUT))
 
 
 _EXTRACT_ORACLE = """

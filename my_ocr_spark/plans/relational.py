@@ -271,10 +271,16 @@ _IOU_MATCH_SQL = f"""
 @query("iou_theta_join_match", oracle=_IOU_MATCH_SQL)
 def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hmean_iou GT×pred matching (hmean_iou.py:66-96): theta join on the
-    overlap predicate + per-GT best-IoU assignment via window rank.
-    Scale: the join key is the image id — an equi-join Catalyst shuffles on
-    img; the theta part is a post-join filter. Per-image pair counts are
-    bounded, so no skew blowup."""
+    overlap predicate + per-GT best-IoU assignment.
+    Scale: the join key is the image id — an equi-join Catalyst shuffles
+    on img; the theta part is a post-join filter. Per-image pair counts
+    are bounded here and overlap density is high (~20% of same-img pairs
+    overlap), so the banded range join (operators/rangejoin.py) does NOT
+    pay — A/B-measured a wash at sf0.1; banding wins only when overlaps
+    are sparse relative to the coordinate span. Note: per-GT best match,
+    not the reference's strict global 1-1 greedy (hmean_iou.py's
+    one_2_one assigns each pred at most once) — the oracle implements the
+    same per-GT relaxation, so both engines agree by construction."""
     gt, pred = _gt_pred(spark, sf_dir)
     p = pred.select("pred_id", F.col("img").alias("pimg"),
                     F.col("s").alias("ps"), F.col("e").alias("pe"))
@@ -299,6 +305,61 @@ def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gt_id", F.col("m.pred_id").alias("pred_id"),
         F.col("m.img").alias("img"),
         F.col("m.iou").alias("iou"))
+
+
+@query(
+    "interval_range_join",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS left_id, o_orderkey % 50 AS grp,
+               CAST((o_orderkey * 37) % 100000 AS DOUBLE) AS s,
+               CAST((o_orderkey * 37) % 100000
+                    + 50 + o_orderkey % 97 AS DOUBLE) AS e
+        FROM orders
+    ),
+    b AS (
+        SELECT l_orderkey * 10 + l_linenumber AS right_id,
+               l_orderkey % 50 AS grp,
+               CAST((l_partkey * 53) % 100000 AS DOUBLE) AS s,
+               CAST((l_partkey * 53) % 100000
+                    + 40 + l_suppkey % 89 AS DOUBLE) AS e
+        FROM lineitem
+    )
+    SELECT a.left_id, b.right_id, a.grp,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_len
+    FROM a JOIN b ON a.grp = b.grp
+    WHERE least(a.e, b.e) > greatest(a.s, b.s)
+    """,
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval range join on a SPARSE fixture (span 100k,
+    interval length ~100, 50 groups): the plain group-equi-join the
+    oracle runs evaluates |A_g|x|B_g| pairs per group (18M at sf0.01,
+    1.8B at sf0.1); the banded plan (operators/rangejoin.py) explodes
+    intervals into 128-wide buckets and equi-joins on (grp, bucket),
+    evaluating only spatially-nearby pairs and emitting each overlap
+    exactly once. Same result set, verified exactly; measured 22x over
+    the plain join at sf0.1 (2.7 s vs 59.5 s warm)."""
+    from my_ocr_spark.operators.rangejoin import band_overlap_join
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    a = o.select(
+        F.col("o_orderkey").alias("left_id"),
+        (F.col("o_orderkey") % 50).alias("grp"),
+        ((F.col("o_orderkey") * 37) % 100000).cast("double").alias("s"),
+        ((F.col("o_orderkey") * 37) % 100000 + 50
+         + F.col("o_orderkey") % 97).cast("double").alias("e"))
+    b = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("right_id"),
+        (F.col("l_orderkey") % 50).alias("grp"),
+        ((F.col("l_partkey") * 53) % 100000).cast("double").alias("s"),
+        ((F.col("l_partkey") * 53) % 100000 + 40
+         + F.col("l_suppkey") % 89).cast("double").alias("e"))
+    j = band_overlap_join(a, b, group="grp", start="s", end="e", width=128.0)
+    return j.select(
+        "left_id", F.col("right_id_r").alias("right_id"), "grp",
+        (F.least("e", "e_r") - F.greatest("s", "s_r")).alias("overlap_len"))
 
 
 _HMEAN_SQL = f"""
