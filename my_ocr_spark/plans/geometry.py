@@ -586,3 +586,129 @@ def stitch_words_gap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (boxes.withColumn("seg", seg.cast("bigint"))
                  .groupBy("img", "line_no", "seg")
                  .agg(F.count("*").alias("n_words")))
+
+
+_P2L_EPS = "1.1920928955078125e-07"  # float32 eps, the reference's guard
+
+_P2L_OUT = T.StructType([
+    T.StructField("pid", T.LongType(), False),
+    T.StructField("dist", T.DoubleType(), False),
+])
+
+
+@query(
+    "point2line_distance_field",
+    oracle=f"""
+    WITH pts AS (
+        SELECT l_orderkey * 10 + l_linenumber AS pid,
+               CAST(l_partkey % 200 AS DOUBLE) AS px,
+               CAST(l_suppkey % 200 AS DOUBLE) AS py,
+               CAST(l_orderkey % 100 AS DOUBLE) AS x1,
+               CAST((l_orderkey * 3) % 100 AS DOUBLE) AS y1,
+               CAST(l_orderkey % 100 + 1 + l_orderkey % 50 AS DOUBLE) AS x2,
+               CAST((l_orderkey * 7) % 100 AS DOUBLE) AS y2
+        FROM lineitem
+    ),
+    tri AS (
+        SELECT pid,
+               (px - x1) * (px - x1) + (py - y1) * (py - y1) AS a2,
+               (px - x2) * (px - x2) + (py - y2) * (py - y2) AS b2,
+               (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) AS c2
+        FROM pts
+    ),
+    ang AS (
+        SELECT pid, a2, b2, c2,
+               (c2 - a2 - b2) / ({_P2L_EPS} + 2.0 * sqrt(a2 * b2)) AS neg
+        FROM tri
+    )
+    SELECT pid,
+           CASE WHEN neg < 0 THEN sqrt(least(a2, b2))
+                ELSE sqrt(a2 * b2 * greatest(1.0 - neg * neg, 0.0)
+                          / ({_P2L_EPS} + c2)) END AS dist
+    FROM ang
+    """,
+)
+def point2line_distance_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBNet border-map distance field (base_textdet_targets.py:18-52):
+    point-to-segment distance via the reference's triangle form
+    (2*area/c perpendicular, nearer endpoint when the angle at the query
+    point is acute). The Spark side runs the vectorized numpy kernel
+    (kernel/geom2d.point2line_dist) over Arrow batches; the oracle
+    evaluates the identical float64 formula in SQL — every op involved
+    (*, /, sqrt) is IEEE-correctly-rounded, so the match is bit-exact,
+    not rounded."""
+    from my_ocr_spark.kernel.geom2d import point2line_dist
+
+    li = t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        (F.col("l_partkey") % 200).cast("double").alias("px"),
+        (F.col("l_suppkey") % 200).cast("double").alias("py"),
+        (F.col("l_orderkey") % 100).cast("double").alias("x1"),
+        ((F.col("l_orderkey") * 3) % 100).cast("double").alias("y1"),
+        (F.col("l_orderkey") % 100 + 1 + F.col("l_orderkey") % 50)
+        .cast("double").alias("x2"),
+        ((F.col("l_orderkey") * 7) % 100).cast("double").alias("y2"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d = point2line_dist(
+                pdf["px"].to_numpy(), pdf["py"].to_numpy(),
+                pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
+                pdf["x2"].to_numpy(), pdf["y2"].to_numpy())
+            yield pd.DataFrame({"pid": pdf["pid"], "dist": d})
+
+    return pts.mapInPandas(run, schema=_P2L_OUT)
+
+
+_MAR_OUT = T.StructType([
+    T.StructField("poly_id", T.LongType(), False),
+    T.StructField("short_side", T.DoubleType(), False),
+    T.StructField("long_side", T.DoubleType(), False),
+])
+
+
+@query(
+    "min_area_rect_size",
+    oracle="""
+    SELECT o_orderkey AS poly_id,
+           round(CAST(least(20 + o_orderkey % 30, 5 + o_orderkey % 17)
+                 AS DOUBLE), 4) AS short_side,
+           round(CAST(greatest(20 + o_orderkey % 30, 5 + o_orderkey % 17)
+                 AS DOUBLE), 4) AS long_side
+    FROM orders
+    """,
+)
+def min_area_rect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polygon_size / cv2.minAreaRect (base_textdet_targets.py:72-85):
+    min-area bounding-rect side lengths via convex hull + rotating
+    calipers (kernel/geom2d.min_area_rect_size). Fixture: rectangles
+    with integer sides (a, b), rotated by one of four Pythagorean
+    (cos, sin) pairs and translated — the minimum rectangle of a
+    rotated rectangle is itself, so the oracle knows the sides in
+    closed form; the kernel recovers them through the full hull +
+    calipers path (fp error ~1e-12, rounded to 4 dp on both sides)."""
+    from my_ocr_spark.kernel.geom2d import min_area_rect_size as mar
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rots = [(1.0, 0.0), (0.6, 0.8), (0.28, 0.96), (0.8, 0.6)]
+        for pdf in batches:
+            out = {"poly_id": [], "short_side": [], "long_side": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                a, b = 20 + k % 30, 5 + k % 17
+                c, s = rots[k % 4]
+                tx, ty = k % 50, k % 70
+                quad = [(tx, ty),
+                        (tx + a * c, ty + a * s),
+                        (tx + a * c - b * s, ty + a * s + b * c),
+                        (tx - b * s, ty + b * c)]
+                short, long_ = mar(quad)
+                out["poly_id"].append(k)
+                out["short_side"].append(round(short, 4))
+                out["long_side"].append(round(long_, 4))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_MAR_OUT)
