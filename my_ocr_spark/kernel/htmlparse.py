@@ -94,14 +94,19 @@ class _BlockParser(HTMLParser):
         self._in_title = False
         self._pos = 0  # monotone counter of text fragments seen
         self._open_counts: dict[str, int] = {}  # O(1) tagstack membership
+        # incremental '/'-joined block-tag paths: entry i is the path of
+        # the i-th open block tag in tagstack order, so a block open is
+        # O(1) instead of an O(depth) join over the whole tagstack
+        self._bpaths: list[str] = []
 
     # -- emit ---------------------------------------------------------
     def _flush(self, ob: _OpenBlock) -> None:
         if len(self.blocks) >= MAX_BLOCKS_PER_DOC:
             return
-        text = _normalize_ws(ob.parts)
-        if not text:
+        words = "".join(ob.parts).split()
+        if not words:
             return
+        text = " ".join(words)
         link_text = _normalize_ws(ob.link_parts)
         self.blocks.append(Block(
             block_id=ob.first_pos,  # temporary: re-numbered in doc order
@@ -111,8 +116,8 @@ class _BlockParser(HTMLParser):
             text=text,
             n_chars=len(text),
             n_link_chars=len(link_text),
-            n_words=len(text.split()),
-            n_punct=sum(text.count(c) for c in _PUNCT_STR),
+            n_words=len(words),
+            n_punct=sum(map(text.count, _PUNCT_STR)),
             is_heading=ob.tag in _HEADINGS,
             in_nav_footer=ob.in_nav,
         ))
@@ -139,9 +144,8 @@ class _BlockParser(HTMLParser):
         if tag in _BLOCK_TAGS:
             # opening a nested block: flush nothing yet; text accumulated in
             # the parent before this point stays with the parent.
-            path = "/".join(
-                t for t in self._tagstack if t in _BLOCK_TAGS
-            )
+            path = self._bpaths[-1] + "/" + tag if self._bpaths else tag
+            self._bpaths.append(path)
             self._stack.append(_OpenBlock(tag=tag, tag_path=path,
                                           depth=len(self._tagstack),
                                           in_nav=self._nav_depth > 0))
@@ -168,6 +172,8 @@ class _BlockParser(HTMLParser):
             while self._tagstack:
                 t = self._tagstack.pop()
                 self._open_counts[t] -= 1
+                if t in _BLOCK_TAGS:
+                    self._bpaths.pop()
                 if t == tag:
                     break
         if tag in _BLOCK_TAGS:
