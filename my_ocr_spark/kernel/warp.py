@@ -67,3 +67,55 @@ def rectify_quad_points(quad: np.ndarray, pts: np.ndarray,
     (0,0)-(w,h) frame — the dewarp direction."""
     h = homography_from_quad(quad, width, height)
     return apply_homography(np.linalg.inv(h), pts)
+
+
+def warp_pixels(img: np.ndarray, h: np.ndarray,
+                out_shape: tuple[int, int],
+                fill: float = 0.0) -> np.ndarray:
+    """Pixel-level perspective warp — pure-numpy grid sample with
+    bilinear interpolation (the pixel path of ``warp_img``,
+    ``mmocr/datasets/pipelines/crop.py:40-83``, which the reference
+    delegates to cv2.warpPerspective; cv2 is absent here so the sampler
+    is explicit).
+
+    ``h`` maps OUTPUT coordinates (x, y) to input coordinates (the same
+    convention as homography_from_quad: rectified → quad), so rectifying
+    a region is ``warp_pixels(img, homography_from_quad(quad, w, h),
+    (h, w))``. Out-of-bounds samples take ``fill``. Fully vectorized:
+    one 3x3 matmul over the whole output grid, four gathers, no Python
+    per-pixel loop."""
+    img = np.asarray(img, dtype=np.float64)
+    out_h, out_w = out_shape
+    ys, xs = np.mgrid[0:out_h, 0:out_w]
+    pts = np.stack([xs.ravel(), ys.ravel(), np.ones(out_h * out_w)])
+    src = h @ pts
+    sx = src[0] / src[2]
+    sy = src[1] / src[2]
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    hh, ww = img.shape
+
+    def gather(yy, xx):
+        ok = (yy >= 0) & (yy < hh) & (xx >= 0) & (xx < ww)
+        vals = np.full(yy.shape, fill, dtype=np.float64)
+        vals[ok] = img[yy[ok], xx[ok]]
+        return vals
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return (top * (1.0 - fy) + bot * fy).reshape(out_h, out_w)
+
+
+def crop_quad_pixels(img: np.ndarray, quad: np.ndarray,
+                     width: int, height: int) -> np.ndarray:
+    """Rectified pixel crop of a quadrilateral region (warp_img's
+    crop+rectify in one step): sample the quad's interior onto a
+    width x height grid."""
+    hmat = homography_from_quad(quad, float(width), float(height))
+    return warp_pixels(img, hmat, (height, width))

@@ -712,3 +712,65 @@ def min_area_rect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_MAR_OUT)
+
+
+_WARP_OUT = T.StructType([
+    T.StructField("doc_key", T.LongType(), False),
+    T.StructField("crop_sum", T.LongType(), False),
+    T.StructField("tl_px", T.DoubleType(), False),
+    T.StructField("br_px", T.DoubleType(), False),
+])
+
+
+@query(
+    "warp_crop_checksum",
+    oracle="""
+    WITH k AS (
+        SELECT o_orderkey AS doc_key,
+               o_orderkey % 4 AS x0, o_orderkey % 3 AS y0
+        FROM orders
+    )
+    SELECT doc_key,
+           CAST(list_aggregate(flatten(list_transform(generate_series(0, 2),
+                i -> list_transform(generate_series(0, 3),
+                     j -> (doc_key + 3 * (y0 + i) + 7 * (x0 + j)) % 17))),
+                'sum') AS BIGINT) AS crop_sum,
+           CAST((doc_key + 3 * y0 + 7 * x0) % 17 AS DOUBLE) AS tl_px,
+           CAST((doc_key + 3 * (y0 + 2) + 7 * (x0 + 3)) % 17 AS DOUBLE)
+               AS br_px
+    FROM k
+    """,
+)
+def warp_crop_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level warp_img crop (crop.py:40-83 / tps_preprocessor.py
+    pixel path): per row, synthesize an 8x10 'image' matrix
+    img[i][j] = (key + 3i + 7j) % 17, rectify an axis-aligned integer
+    quad through the FULL pipeline — DLT homography solve + bilinear
+    grid sample (kernel/warp.crop_quad_pixels) — and emit the crop's
+    checksum plus corner probes. Integer-aligned quads make every
+    bilinear sample land on a grid point, so the oracle predicts the
+    values in closed form; fractional warps are covered by unit tests
+    (tests/test_warp_pixels.py). round() guards the ~1e-12 DLT solve
+    noise before the BIGINT cast."""
+    from my_ocr_spark.kernel.warp import crop_quad_pixels
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ii, jj = np.mgrid[0:8, 0:10]
+        for pdf in batches:
+            out = {"doc_key": [], "crop_sum": [], "tl_px": [], "br_px": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                img = (k + 3 * ii + 7 * jj) % 17
+                x0, y0 = k % 4, k % 3
+                quad = [(x0, y0), (x0 + 4, y0),
+                        (x0 + 4, y0 + 3), (x0, y0 + 3)]
+                c = crop_quad_pixels(img.astype(float), quad, 4, 3)
+                out["doc_key"].append(k)
+                out["crop_sum"].append(int(round(c.sum())))
+                out["tl_px"].append(round(float(c[0, 0]), 6))
+                out["br_px"].append(round(float(c[2, 3]), 6))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_WARP_OUT)
