@@ -41,7 +41,7 @@ MAX_BLOCKS_PER_DOC = 20000  # skew bound, analog of max_candidates=3000
 # per-document work on pathological pages.
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One text block — the unit the scorer classifies keep/drop."""
 
@@ -60,7 +60,7 @@ class Block:
     in_nav_footer: bool   # under nav/header/footer/aside ancestry
 
 
-@dataclass
+@dataclass(slots=True)
 class _OpenBlock:
     tag: str
     tag_path: str
@@ -107,7 +107,7 @@ class _BlockParser(HTMLParser):
         if not words:
             return
         text = " ".join(words)
-        link_text = _normalize_ws(ob.link_parts)
+        link_text = _normalize_ws(ob.link_parts) if ob.link_parts else ""
         self.blocks.append(Block(
             block_id=ob.first_pos,  # temporary: re-numbered in doc order
             tag=ob.tag,

@@ -62,12 +62,41 @@ def drrg_local_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_per_group(pts, k=4)
 
 
-@query("connected_components")  # iterative fixpoint → rows-only
+@query(
+    "connected_components",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+        SELECT l_orderkey * 10 AS src, l_partkey * 10 + 1 AS dst
+        FROM lineitem
+        WHERE l_orderkey % 25 = 0 AND l_linenumber = 1
+    ),
+    ue AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION
+        SELECT dst AS a, src AS b FROM edges
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM ue
+        UNION
+        SELECT ue.a, reach.r FROM ue JOIN reach ON ue.b = reach.node
+    ),
+    labeled AS (
+        SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT node, component FROM labeled
+    WHERE component IN (SELECT component FROM labeled
+                        GROUP BY component HAVING count(*) >= 2)
+    """,
+)
 def connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed CC via min-label propagation + pointer jumping (the
     GraphFrames pattern on plain joins; see operators/graph.py). Edges:
     order↔part from a sparse deterministic slice of lineitem; node ids
-    disambiguated by range (orders ×10, parts ×10+1)."""
+    disambiguated by range (orders ×10, parts ×10+1). Oracle: DuckDB
+    recursive-CTE transitive closure with min-label per node — exact,
+    feasible because the fixture graph is small; the Spark side is the
+    O(log n)-round distributed algorithm that scales."""
     li = t(spark, sf_dir, "lineitem")
     edges = (li.filter((F.col("l_orderkey") % 25 == 0)
                        & (F.col("l_linenumber") == 1))
