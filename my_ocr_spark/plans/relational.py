@@ -646,6 +646,53 @@ def dedup_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_snapshot",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderkey, o_custkey AS cust,
+               CAST(o_orderkey % 1000 AS BIGINT) AS obs_ts
+        FROM orders
+    ),
+    snaps AS (
+        SELECT c_custkey AS cust,
+               CAST((c_custkey * 7 + v * 131) % 1000 AS BIGINT) AS snap_ts,
+               c_custkey * 10 + v AS snap_val
+        FROM customer, (SELECT unnest([0, 1, 2]) AS v)
+    )
+    SELECT o.o_orderkey, o.cust, o.obs_ts, s.snap_val
+    FROM obs o ASOF LEFT JOIN snaps s
+      ON o.cust = s.cust AND o.obs_ts >= s.snap_ts
+    """,
+)
+def asof_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-table AS-OF join (operators/asof.py): every order
+    picks up the customer snapshot with the greatest snap_ts <= its
+    observation ts (NULL when none) — the dimension-versioning join a
+    warc_ts-style corpus needs. Spark side is the union-and-carry plan
+    (one shuffle on the key, no per-key pair blow-up); the oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, so the operator is verified against
+    an independent first-class implementation rather than a rephrasing
+    of itself."""
+    from my_ocr_spark.operators.asof import asof_join
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    obs = o.select(
+        "o_orderkey", F.col("o_custkey").alias("cust"),
+        (F.col("o_orderkey") % 1000).cast("bigint").alias("obs_ts"))
+    snaps = (c.select("c_custkey")
+              .withColumn("v", F.explode(F.array(F.lit(0), F.lit(1),
+                                                 F.lit(2))))
+              .select(F.col("c_custkey").alias("cust"),
+                      ((F.col("c_custkey") * 7 + F.col("v") * 131) % 1000)
+                      .cast("bigint").alias("snap_ts"),
+                      (F.col("c_custkey") * 10 + F.col("v"))
+                      .alias("snap_val")))
+    return asof_join(obs, snaps, key="cust", left_ts="obs_ts",
+                     right_ts="snap_ts", value_cols=["snap_val"])
+
+
+@query(
     "threshold_sweep_argmax",
     oracle="""
     WITH thr AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
