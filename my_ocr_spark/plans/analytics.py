@@ -39,6 +39,39 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hypertable_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CASE WHEN date_trunc('day', ts) IS NULL
+                     AND event_type IS NULL THEN 2
+                WHEN event_type IS NULL THEN 1 ELSE 0 END AS lvl,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DOUBLE)) AS DOUBLE), 2) AS sum_v
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity continuous-aggregate rollup:
+    one pass produces (day, event_type), per-day, and grand-total rows
+    (GROUP BY ROLLUP on both engines — Spark plans it as a single
+    Expand + hash aggregate, so the fact table is scanned once, not
+    once per level). ``lvl`` marks the aggregation level; day is never
+    NULL in the data, so NULL markers are unambiguous. Order-dependent
+    double sums rounded on both sides."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    rolled = (e.rollup(day.alias("day"), "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum(F.col("value").cast("double"))
+                             .cast("double"), 2).alias("sum_v")))
+    lvl = (F.when(F.col("day").isNull() & F.col("event_type").isNull(), 2)
+            .when(F.col("event_type").isNull(), 1).otherwise(0))
+    return rolled.select("day", "event_type", lvl.cast("int").alias("lvl"),
+                         "n", "sum_v")
+
+
+@query(
     "top_revenue_nation",
     oracle="""
     SELECT n.n_name AS nation,
