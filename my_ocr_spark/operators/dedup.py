@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from my_ocr_spark.kernel import textstats as ts
@@ -51,7 +52,8 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 1, threshold: float = 0.5,
-                        df_cap: int | None = 64) -> DataFrame:
+                        df_cap: int | None = 64,
+                        persist_postings: bool = False) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs via inverted-index self-join.
 
     Stages: distinct shingles per doc (narrow) → document-frequency cap →
@@ -101,20 +103,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 .mapInPandas(gen, schema=sh_schema))
     sh = sh.filter(F.col("shingle") != "")
     # Postings-list inverted index: ONE aggregation keyed by shingle
-    # carries both df and the (sorted) posting list, so the expensive
-    # shingle generation scans the corpus exactly once — the naive
-    # sh-self-join form re-evaluates the generation per join side and per
-    # sizes/df aggregate (measured: MapInPandas appeared 8x in the
-    # physical plan, no exchange reuse). Pairs explode from postings with
-    # df<=cap, so pair fan-out per shingle is bounded by cap^2/2; a
-    # shingle's in-aggregation buffer is the residual skew cost (8B*df
-    # before the filter drops it; Spark's sort-based collect fallback
-    # spills groups to disk rather than OOM).
+    # carries both df and the (sorted) posting list. Pairs explode from
+    # postings with df<=cap, so pair fan-out per shingle is bounded by
+    # cap^2/2; a shingle's in-aggregation buffer is the residual skew
+    # cost (8B*df before the filter drops it; Spark's sort-based collect
+    # fallback spills groups to disk rather than OOM).
+    #
+    # postings feeds THREE consumers (pairs, sizes->s1, sizes->s2) whose
+    # column pruning makes the exchange subtrees non-identical, so
+    # Spark's ReuseExchange does NOT fire (verified) and the shingle
+    # generation re-runs per consumer. ``persist_postings`` is the
+    # materialization point for that: lazy (the query contract stays
+    # action-free), disk-backed, LRU-evicted. A/B at sf0.1 (fresh JVMs):
+    # persist LOSES — 10.6 s vs 7.7 s cold — because cache serialization
+    # of the docs arrays costs more than recomputing the narrow gen; at
+    # corpus scale the tradeoff flips (3 full-corpus parse scans vs one
+    # disk-backed postings table), so the flag defaults off and a 100 TB
+    # caller turns it on.
     postings = (sh.groupBy("shingle")
                   .agg(F.count("*").alias("df_"),
                        F.sort_array(F.collect_list("doc")).alias("docs")))
     if df_cap is not None:
         postings = postings.filter(F.col("df_") <= df_cap)
+    if persist_postings:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (postings.select(F.explode("docs").alias("doc"))
                      .groupBy("doc").agg(F.count("*").alias("sz")))
     pairs = (postings.filter(F.col("df_") >= 2)

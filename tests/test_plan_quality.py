@@ -114,3 +114,50 @@ def test_session_has_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get(
         "spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
+def test_ngram_jaccard_postings_consumers(spark, sf_dir):
+    """The postings-index rewrite's contract: at most 3 shingle-gen
+    occurrences (pairs + the two sizes joins; the self-join form had 8),
+    and the persist_postings flag collapses them to one cached
+    materialization for corpus-scale runs."""
+    from my_ocr_spark.operators.dedup import ngram_jaccard_pairs
+    from my_ocr_spark.plans.registry import QUERIES, t
+    import my_ocr_spark.plans.textpipe  # noqa: F401
+    plan = _physical_plan(QUERIES["ngram_jaccard_dups"](spark, sf_dir))
+    assert plan.count("MapInPandas") <= 3, plan
+    docs = t(spark, sf_dir, "documents")
+    cached = ngram_jaccard_pairs(docs, "doc_id", "text", n=4,
+                                 threshold=0.2, persist_postings=True)
+    cplan = _physical_plan(cached)
+    assert "InMemoryRelation" in cplan or "TableCacheQueryStage" in cplan \
+        or "InMemoryTableScan" in cplan, cplan
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    """asof_join is union-and-carry: no join operator at all, one
+    exchange for the window partitioning (plus AQE bookkeeping), no
+    per-key pair blow-up."""
+    from my_ocr_spark.plans.relational import asof_join_snapshot
+    plan = _physical_plan(asof_join_snapshot(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_rollup_is_single_pass_expand(spark, sf_dir):
+    """GROUP BY ROLLUP plans as one Expand + aggregate, not one scan per
+    level."""
+    from my_ocr_spark.plans.analytics import hypertable_rollup
+    plan = _physical_plan(hypertable_rollup(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_reading_order_single_shuffle_streaming_map(spark, sf_dir):
+    """pdf_reading_order: one hash exchange on the group key feeding a
+    streaming mapInPandas — no grouped-map (ObjectHashAggregate/
+    FlatMapGroupsInPandas) launcher."""
+    from my_ocr_spark.plans.analytics import pdf_reading_order
+    plan = _physical_plan(pdf_reading_order(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
