@@ -57,9 +57,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
-    # warm-up: JVM JIT + parquet footer caches + python worker pool, so the
-    # first timed query doesn't absorb cold-start
+    # warm-up: JVM JIT + parquet footer caches, so the first timed query
+    # doesn't absorb cold-start
     qs["pricing_summary"](spark, sf_dir).count()
+    # ...and the python worker pool (pricing_summary is JVM-only, so
+    # without this the first pandas-UDF query in the loop would absorb
+    # all worker spawns; one no-op batch per core is steady-state)
+    spark.range(0, 32 * int(cpus), 1, int(cpus)).mapInPandas(
+        lambda it: it, "id long").count()
     headline = [
         "pricing_summary",          # partial+final agg over the fact table
         "top_revenue_nation",       # broadcast-dim multi-join
