@@ -29,9 +29,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--master", default=None)
         p.add_argument("--buckets", type=int, default=16)
 
-    for name in ("extract", "blocks", "dedup"):
+    for name in ("extract", "blocks", "dedup", "vis"):
         common(sub.add_parser(name))
     sub.choices["extract"].add_argument("--no-resume", action="store_true")
+    sub.choices["vis"].add_argument("--n", type=int, default=10)
+    sub.choices["vis"].add_argument("--mode", choices=("text", "html"),
+                                    default="text")
 
     args = ap.parse_args(argv)
 
@@ -65,6 +68,19 @@ def main(argv: list[str] | None = None) -> int:
         (exact_dup_groups(docs, "url", "text")
          .write.mode("overwrite").parquet(args.output))
         print(json.dumps({"cmd": "dedup", "output": args.output}))
+    elif args.cmd == "vis":
+        # debug rendering (visualize.py / det_test_imgs.py analog):
+        # bounded sample, one annotated rendering per document
+        from my_ocr_spark.functions.vis import vis_sample
+
+        sep = ("\n" + "=" * 78 + "\n") if args.mode == "text" else "\n"
+        rendered = vis_sample(docs, n=args.n, mode=args.mode)
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(sep.join(
+                (f"{r['url']}\n{r['rendering']}" if args.mode == "text"
+                 else r["rendering"]) for r in rendered))
+        print(json.dumps({"cmd": "vis", "output": args.output,
+                          "n_docs": len(rendered)}))
     spark.stop()
     return 0
 
