@@ -130,3 +130,125 @@ def icdar_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("transcription") == "###", 1).otherwise(0)
             .cast("int").alias("iscrowd"),
         "transcription")
+
+
+# ctw1500 gt line: 28 ints (14 polygon vertices) then a '####'-prefixed
+# text field (ctw1500_converter.py:116-143). The 14-gon synthesis bends
+# top and bottom edges independently (curved-text shape). Same formula,
+# one expression per SQL dialect (array literal / concat syntax differ).
+_CTW_COORD_SQL = """
+    flatten(list_transform(generate_series(0, 6), i -> [
+        bx + i * w7, by + (k + i * 3) % 9
+    ])) || flatten(list_transform(generate_series(0, 6), i -> [
+        bx + (6 - i) * w7, by + 30 + (k + (6 - i) * 5) % 9
+    ]))
+"""
+_CTW_COORD_SPARK = """
+    concat(
+        flatten(transform(sequence(0, 6), i ->
+            array(bx + i * w7, by + (k + i * 3) % 9))),
+        flatten(transform(sequence(0, 6), i ->
+            array(bx + (6 - i) * w7, by + 30 + (k + (6 - i) * 5) % 9))))
+"""
+
+
+@query(
+    "ctw1500_convert_coco",
+    oracle=f"""
+    WITH raw AS (
+        SELECT l_orderkey * 10 + l_linenumber AS poly_id,
+               l_orderkey AS k,
+               l_orderkey % 800 AS bx, l_partkey % 600 AS by,
+               l_suppkey % 20 + 5 AS w7,
+               'w' || CAST(l_linenumber AS VARCHAR) AS word
+        FROM lineitem
+    ),
+    lines AS (
+        SELECT poly_id,
+               array_to_string({_CTW_COORD_SQL}, ',')
+                   || ',####' || word AS gt_line
+        FROM raw
+    ),
+    parsed AS (
+        SELECT poly_id, gt_line,
+               list_transform(string_split(gt_line, ',')[1:28],
+                              s -> CAST(s AS BIGINT)) AS xy,
+               string_split(gt_line, ',')[29] AS tail
+        FROM lines
+    ),
+    geo AS (
+        SELECT poly_id, tail, xy,
+               list_min(list_transform(generate_series(0, 13),
+                        i -> xy[2 * i + 1])) AS min_x,
+               list_max(list_transform(generate_series(0, 13),
+                        i -> xy[2 * i + 1])) AS max_x,
+               list_min(list_transform(generate_series(0, 13),
+                        i -> xy[2 * i + 2])) AS min_y,
+               list_max(list_transform(generate_series(0, 13),
+                        i -> xy[2 * i + 2])) AS max_y,
+               list_aggregate(list_transform(generate_series(0, 13), i ->
+                   xy[2 * i + 1] * xy[2 * ((i + 1) % 14) + 2]
+                   - xy[2 * ((i + 1) % 14) + 1] * xy[2 * i + 2]),
+                   'sum') AS shoelace2
+        FROM parsed
+    )
+    SELECT poly_id,
+           CAST(14 AS INTEGER) AS n_vertices,
+           CAST(min_x AS INTEGER) AS bbox_x,
+           CAST(min_y AS INTEGER) AS bbox_y,
+           CAST(max_x - min_x AS INTEGER) AS bbox_w,
+           CAST(max_y - min_y AS INTEGER) AS bbox_h,
+           abs(CAST(shoelace2 AS DOUBLE)) / 2.0 AS area,
+           substr(tail, 5) AS transcription
+    FROM geo
+    """,
+)
+def ctw1500_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTW1500 curved-text gt line → COCO rows
+    (ctw1500_converter.py:116-143 ``load_txt_info``): 28 comma-separated
+    ints form a 14-vertex polygon, the trailing '####'-prefixed field is
+    the transcription. Parse: split → 28 casts → cyclic shoelace over
+    the 14-gon → bounds bbox; '####' stripped for the transcription.
+    Same parse in DuckDB SQL verifies the string→geometry path."""
+    li = t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("poly_id"),
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_orderkey") % 800).alias("bx"),
+        (F.col("l_partkey") % 600).alias("by"),
+        (F.col("l_suppkey") % 20 + 5).alias("w7"),
+        F.concat(F.lit("w"), F.col("l_linenumber").cast("string"))
+        .alias("word"))
+    lines = raw.select(
+        "poly_id",
+        F.expr(f"concat(array_join({_CTW_COORD_SPARK}, ','),"
+               f" ',####', word)").alias("gt_line"))
+    parsed = lines.select(
+        "poly_id", "gt_line",
+        F.expr("transform(slice(split(gt_line, ','), 1, 28),"
+               " s -> CAST(s AS BIGINT))").alias("xy"),
+        F.expr("element_at(split(gt_line, ','), 29)").alias("tail"))
+    xs = "transform(sequence(0, 13), i -> element_at(xy, 2 * i + 1))"
+    ys = "transform(sequence(0, 13), i -> element_at(xy, 2 * i + 2))"
+    shoelace2 = F.expr(
+        "aggregate(transform(sequence(0, 13), i ->"
+        " element_at(xy, 2 * i + 1)"
+        "   * element_at(xy, 2 * pmod(i + 1, 14) + 2)"
+        " - element_at(xy, 2 * pmod(i + 1, 14) + 1)"
+        "   * element_at(xy, 2 * i + 2)), 0L, (a, x) -> a + x)")
+    geo = parsed.select(
+        "poly_id", "tail",
+        F.expr(f"array_min({xs})").alias("min_x"),
+        F.expr(f"array_max({xs})").alias("max_x"),
+        F.expr(f"array_min({ys})").alias("min_y"),
+        F.expr(f"array_max({ys})").alias("max_y"),
+        shoelace2.alias("shoelace2"))
+    return geo.select(
+        "poly_id",
+        F.lit(14).cast("int").alias("n_vertices"),
+        F.col("min_x").cast("int").alias("bbox_x"),
+        F.col("min_y").cast("int").alias("bbox_y"),
+        (F.col("max_x") - F.col("min_x")).cast("int").alias("bbox_w"),
+        (F.col("max_y") - F.col("min_y")).cast("int").alias("bbox_h"),
+        (F.abs(F.col("shoelace2").cast("double")) / 2.0).alias("area"),
+        F.expr("substring(tail, 5)").alias("transcription"))

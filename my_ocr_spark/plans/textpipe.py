@@ -481,3 +481,37 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.octet_length(payload) > F.length("text"), "multibyte")
          .otherwise("ascii").alias("payload_kind"),
     )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH g AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
+    d AS (SELECT unnest(generate_series(0, 63)) AS dim)
+    SELECT g.grp, CAST(d.dim AS INTEGER) AS dim,
+           round(avg(CAST(g.embedding[d.dim + 1] AS DOUBLE)), 4)
+               AS centroid
+    FROM g, d
+    GROUP BY g.grp, d.dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroid — the k-means/IVF training
+    primitive at corpus scale. Shape matters: 64 scalar AVG aggregates
+    (one per dimension) instead of posexplode-then-groupBy — no 64x row
+    multiplication before the shuffle and every AVG gets a map-side
+    partial, so the shuffle carries 16 groups x 64 running sums
+    regardless of corpus size. The wide row is unpivoted to
+    (grp, dim, centroid) AFTER the aggregate via stack(). Order-
+    dependent float means rounded on both sides."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = 64
+    aggs = [F.round(F.avg(F.get(F.col("embedding"), d).cast("double")), 4)
+             .alias(f"d{d}") for d in range(dims)]
+    wide = emb.groupBy((F.col("vec_id") % 16).alias("grp")).agg(*aggs)
+    stack = ("stack(" + str(dims) + ", "
+             + ", ".join(f"{d}, d{d}" for d in range(dims))
+             + ") AS (dim, centroid)")
+    return wide.select("grp", F.expr(stack)) \
+               .select("grp", F.col("dim").cast("int").alias("dim"),
+                       "centroid")
