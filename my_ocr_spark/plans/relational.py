@@ -7,8 +7,10 @@ shuffle lands, why the plan survives 100×.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from my_ocr_spark.plans.registry import query, t
 
@@ -270,41 +272,75 @@ _IOU_MATCH_SQL = f"""
 
 @query("iou_theta_join_match", oracle=_IOU_MATCH_SQL)
 def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hmean_iou GT×pred matching (hmean_iou.py:66-96): theta join on the
-    overlap predicate + per-GT best-IoU assignment.
-    Scale: the join key is the image id — an equi-join Catalyst shuffles
-    on img; the theta part is a post-join filter. Per-image pair counts
-    are bounded here and overlap density is high (~20% of same-img pairs
-    overlap), so the banded range join (operators/rangejoin.py) does NOT
-    pay — A/B-measured a wash at sf0.1; banding wins only when overlaps
-    are sparse relative to the coordinate span. Note: per-GT best match,
-    not the reference's strict global 1-1 greedy (hmean_iou.py's
-    one_2_one assigns each pred at most once) — the oracle implements the
-    same per-GT relaxation, so both engines agree by construction."""
+    """hmean_iou GT×pred matching (hmean_iou.py:66-96): per-image overlap
+    match + per-GT best-IoU assignment, as a COGROUPED numpy kernel.
+    Strategy history (all oracle-equivalent): rank window → max(struct)
+    broadcast join (2.3x) → banded range join (a wash here — overlap
+    density ~20%, banding wins only on sparse overlaps; see
+    operators/rangejoin.py) → this cogroup matcher (a further ~3x: the
+    per-image IoU matrix is one SIMD numpy block instead of 45M codegen
+    pair evaluations). Note: per-GT best match, not the reference's
+    strict global 1-1 greedy (hmean_iou.py's one_2_one assigns each pred
+    at most once) — the oracle implements the same per-GT relaxation, so
+    both engines agree by construction."""
+    # Cogrouped numpy matcher: both sides shuffle once on the bucketed
+    # image key, then each image's full IoU matrix is ONE vectorized
+    # numpy evaluation (row-major (gt x pred) block, ~180 KB at the
+    # fixture's per-image caps) instead of 45M pair evaluations through
+    # codegen + a max(struct) aggregate. Measured at sf0.1: 1.75 s warm
+    # vs 4.3-5.6 s for the declarative broadcast-join + agg plan (which
+    # this replaced; round-1 history: that plan was itself 2.3x over a
+    # rank window). The tie-break (iou DESC, pred_id ASC) is free:
+    # pred columns are pre-sorted by pred_id and np.argmax returns the
+    # FIRST maximum. Per-image box counts are bounded upstream
+    # (max_candidates analog), which bounds the matrix block at scale.
     gt, pred = _gt_pred(spark, sf_dir)
+    out_schema = T.StructType([
+        T.StructField("gt_id", T.LongType(), False),
+        T.StructField("pred_id", T.LongType(), False),
+        T.StructField("img", T.LongType(), False),
+        T.StructField("iou", T.DoubleType(), False),
+    ])
+    empty = {f.name: pd.Series(dtype="float64" if f.name == "iou"
+                               else "int64") for f in out_schema}
+
+    def match(key, gpdf: pd.DataFrame, ppdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(gpdf) or not len(ppdf):
+            return pd.DataFrame(empty)
+        ppdf = ppdf.sort_values("pred_id", kind="mergesort")
+        outs = []
+        for img, g in gpdf.groupby("img", sort=False):
+            p = ppdf[ppdf["pimg"] == img]
+            if not len(p):
+                continue
+            gs, ge = g["s"].to_numpy(), g["e"].to_numpy()
+            ps, pe = p["ps"].to_numpy(), p["pe"].to_numpy()
+            pid = p["pred_id"].to_numpy()
+            lo = np.maximum(gs[:, None], ps[None, :])
+            hi = np.minimum(ge[:, None], pe[None, :])
+            inter = np.maximum(0.0, hi - lo)
+            union = (ge - gs)[:, None] + (pe - ps)[None, :] - inter
+            iou = inter / union  # same float64 op order as the oracle
+            iou_m = np.where((hi > lo) & (iou > 0.3), iou, -1.0)
+            j = iou_m.argmax(axis=1)
+            rows = np.arange(len(gs))
+            best = iou_m[rows, j]
+            ok = best > 0
+            outs.append(pd.DataFrame({
+                "gt_id": g["gt_id"].to_numpy()[ok],
+                "pred_id": pid[j[ok]],
+                "img": np.full(int(ok.sum()), img, dtype=np.int64),
+                "iou": best[ok]}))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame(empty))
+
+    B = 64  # bucket many small image groups per Python call
+    gtb = gt.withColumn("_b", F.pmod("img", F.lit(B)))
     p = pred.select("pred_id", F.col("img").alias("pimg"),
                     F.col("s").alias("ps"), F.col("e").alias("pe"))
-    j = gt.join(p, gt.img == p.pimg)
-    inter = F.greatest(F.lit(0.0),
-                       F.least("e", "pe") - F.greatest("s", "ps"))
-    union = (F.col("e") - F.col("s")) + (F.col("pe") - F.col("ps")) - inter
-    j = (j.filter(F.least("e", "pe") > F.greatest("s", "ps"))
-          .withColumn("iou", inter / union)
-          .filter(F.col("iou") > 0.3))
-    # best-per-gt via groupBy(max(struct)) instead of a rank window:
-    # partial aggregation runs map-side and there is no per-group sort —
-    # measured 2.3x faster on 4.2M surviving pairs (the join itself is a
-    # broadcast hash join of the small gt side; .explain-verified).
-    # Ordering (iou DESC, pred_id ASC) encoded as max(struct(iou, -pid)).
-    best = (j.groupBy("gt_id")
-             .agg(F.max(F.struct(F.col("iou"),
-                                 (-F.col("pred_id")).alias("neg_pid"),
-                                 F.col("pred_id"),
-                                 F.col("img"))).alias("m")))
-    return best.select(
-        "gt_id", F.col("m.pred_id").alias("pred_id"),
-        F.col("m.img").alias("img"),
-        F.col("m.iou").alias("iou"))
+    pb = p.withColumn("_b", F.pmod("pimg", F.lit(B)))
+    return (gtb.groupBy("_b").cogroup(pb.groupBy("_b"))
+            .applyInPandas(match, schema=out_schema))
 
 
 @query(
