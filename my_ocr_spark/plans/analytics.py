@@ -356,3 +356,46 @@ def payload_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders").select("o_orderkey")
     return o.mapInPandas(run, schema=_AUDIT_OUT)
+
+
+@query(
+    "session_window_native",
+    oracle="""
+    WITH marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sess
+        FROM marks
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sess
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (dynamic-gap session aggregation —
+    the streaming-capable form of the manual gap sessionization in
+    sessionize_events): window = [first event, last event + gap), a new
+    session starts when an event lands at or past the open session's
+    end. The oracle derives identical sessions with the classic
+    gaps-and-islands window SQL (break when diff >= gap). The same
+    expression runs under readStream + watermark — this batch query is
+    its exactness witness."""
+    e = t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+             .agg(F.count("*").alias("n_events"))
+             .select("user_id",
+                     F.col("session_window.start").alias("session_start"),
+                     F.col("session_window.end").alias("session_end"),
+                     "n_events"))

@@ -6,5 +6,5 @@ execution is free: readStream → same transforms → writeStream.
 """
 
 from my_ocr_spark.streaming.pipeline import (  # noqa: F401
-    streaming_extract, windowed_event_agg,
+    session_event_agg, streaming_extract, windowed_event_agg,
 )

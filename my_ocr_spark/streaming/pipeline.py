@@ -29,6 +29,25 @@ def streaming_extract(spark: SparkSession, source_dir: str,
     return extract_docs(stream)
 
 
+def session_event_agg(events: DataFrame,
+                      gap: str = "30 minutes",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Dynamic-gap SESSION window per user (session_window): the
+    streaming form of gap sessionization — sessions close when the
+    watermark passes last-event + gap. Works on both batch and streaming
+    frames; exactness is witnessed by the batch oracle query
+    ``session_window_native`` (plans/analytics.py), and batch/stream
+    parity by tests/test_lineage_streaming.py."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
 def windowed_event_agg(events: DataFrame,
                        window: str = "1 hour",
                        watermark: str = "2 hours") -> DataFrame:

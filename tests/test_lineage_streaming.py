@@ -84,3 +84,46 @@ def test_windowed_event_agg_batch_mode(spark):
     df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
     out = windowed_event_agg(df).collect()
     assert {(r["window_start"].hour, r["n"]) for r in out} == {(0, 2), (1, 2)}
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """session_event_agg under readStream/availableNow produces the same
+    closed sessions as the batch run of the same expression (and the
+    batch expression is oracle-verified by session_window_native)."""
+    import datetime as dt
+
+    from my_ocr_spark.streaming import session_event_agg
+
+    base = dt.datetime(2024, 1, 1)
+    closer = base + dt.timedelta(days=1)  # pushes the watermark forward
+    rows = []
+    for u in range(5):
+        # two sessions per user: a burst, a >=30min gap, another burst
+        for m in (0, 5, 10):
+            rows.append((u, base + dt.timedelta(minutes=m + u), 1.0))
+        for m in (90, 95):
+            rows.append((u, base + dt.timedelta(minutes=m + u), 1.0))
+        rows.append((u, closer, 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+
+    batch = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+             for r in session_event_agg(df, watermark="0 seconds").collect()}
+    closed = {k: v for k, v in batch.items() if k[1] < closer}
+    assert len(batch) == 15 and len(closed) == 10  # 3 sessions x 5 users
+    assert set(closed.values()) == {2, 3}
+
+    stream = (spark.readStream.schema(df.schema).parquet(src))
+    q = (session_event_agg(stream, watermark="0 seconds")
+         .writeStream.format("memory").queryName("sess_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+           for r in spark.sql("select * from sess_stream").collect()}
+    # append mode emits exactly the sessions whose end precedes the final
+    # watermark (the day-later closer burst stays open and unemitted) —
+    # and those match the batch computation exactly
+    assert got == closed
