@@ -341,12 +341,60 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("id1", "id2", "cos"))
 
 
-@query("winnow_fingerprints")  # rolling-hash kernel → rows-only
+def _winnow_oracle() -> str:
+    """DuckDB twin of rolling_hashes + winnow_fingerprint: the Rabin-Karp
+    power table is generated from the SAME kernel constants (base 257,
+    Mersenne-61 modulus); products reach 2^68 so the mod-sum runs in
+    HUGEINT. The power list is hoisted into a 1-row CTE — inlining the
+    32-literal list into every lambda re-evaluated it per element
+    (measured 18 s -> 1.07 s at sf0.01)."""
+    from my_ocr_spark.kernel.textstats import _RH_BASE, _RH_MOD
+
+    pw = [pow(_RH_BASE, 31 - k, _RH_MOD) for k in range(32)]
+    pw_sql = "[" + ", ".join(f"CAST('{p}' AS HUGEINT)" for p in pw) + "]"
+    return f"""
+    WITH pwt AS (SELECT {pw_sql} AS pw),
+    d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    c AS (
+        SELECT doc_id, string_split(norm, '') AS ch, length(norm) AS n, pw
+        FROM d, pwt
+    ),
+    h AS (
+        SELECT doc_id,
+            CASE WHEN n = 0 THEN []
+                 WHEN n < 32 THEN [CAST(list_aggregate(
+                     list_transform(generate_series(1, n), j ->
+                         CAST(ascii(ch[j]) AS HUGEINT) * pw[32 - n + j]),
+                     'sum') % {_RH_MOD} AS BIGINT)]
+                 ELSE list_transform(generate_series(1, n - 31), i ->
+                     CAST(list_aggregate(
+                         list_transform(generate_series(0, 31), j ->
+                             CAST(ascii(ch[i + j]) AS HUGEINT) * pw[j + 1]),
+                         'sum') % {_RH_MOD} AS BIGINT))
+            END AS hs
+        FROM c
+    ),
+    f AS (
+        SELECT doc_id,
+            CASE WHEN len(hs) = 0 THEN []
+                 WHEN len(hs) <= 8 THEN [list_min(hs)]
+                 ELSE list_sort(list_distinct(list_transform(
+                     generate_series(1, len(hs) - 7),
+                     i -> list_min(hs[i:i+7]))))
+            END AS fps
+        FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM f
+    """
+
+
+@query("winnow_fingerprints", oracle=_winnow_oracle())
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (rolling Rabin-Karp hashes, min per
     shingle window — Schleimer et al.): the position-robust exact-dup
     primitive. Emitted as (doc_id, fingerprint) rows ready for a
-    fingerprint-keyed dedup join."""
+    fingerprint-keyed dedup join. Oracle: the full hash+winnow pipeline
+    re-derived in DuckDB SQL (HUGEINT mod-sum) — exact, not rows-only."""
     from collections.abc import Iterator
 
     import pandas as pd
