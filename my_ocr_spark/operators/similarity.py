@@ -79,8 +79,17 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype=np.float64)
                             for v in pdf["_vec"]])
-            signs = (mat @ planes.T) > 0
-            buckets = signs.dot(1 << np.arange(n_planes)).astype(np.int32)
+            # explicit left-to-right fold over dims (vectorized over
+            # rows) instead of BLAS matmul: BLAS blocks/reorders the
+            # summation, so a dot product within rounding error of zero
+            # could bucket differently from any other evaluation order.
+            # This order is the one the DuckDB oracle reproduces —
+            # bucket assignment becomes a pure deterministic function.
+            dots = np.zeros((len(mat), n_planes))
+            for d in range(mat.shape[1]):
+                dots += mat[:, d:d + 1] * planes.T[d:d + 1, :]
+            buckets = ((dots > 0)
+                       .dot(1 << np.arange(n_planes)).astype(np.int32))
             yield pd.DataFrame({"vid": pdf["_id"], "bucket": buckets})
 
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))

@@ -243,18 +243,133 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "doc_id", "text", n=4, threshold=0.2)
 
 
-@query("minhash_lsh_candidates")  # approximate → rows-only check
+def _minhash_oracle() -> str:
+    """DuckDB twin of the FULL MinHash-LSH pipeline: md5 shingle hashes
+    masked to 61 bits, the kernel's 32 affine permutations (constants
+    embedded from _perm_params — same RandomState(42) stream) with the
+    kernel's uint64-overflow semantics emulated as mod-2^64 in HUGEINT,
+    per-band tuple-repr md5 bucket hashes, the 512 bucket cap, and the
+    distinct pigeonhole pair join. 'Approximate' describes the
+    algorithm's recall, not its determinism — the pipeline is a pure
+    function of the input, so it oracles exactly."""
+    from my_ocr_spark.kernel.textstats import _MERSENNE61, _perm_params
+
+    a, b = _perm_params(32)
+    pa = "[" + ", ".join(f"CAST('{int(x)}' AS HUGEINT)" for x in a) + "]"
+    pb = "[" + ", ".join(f"CAST('{int(x)}' AS HUGEINT)" for x in b) + "]"
+    two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    two61 = "CAST('2305843009213693952' AS HUGEINT)"
+    return f"""
+    WITH ab AS (SELECT {pa} AS pa, {pb} AS pb),
+    d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM d),
+    sh AS (SELECT doc_id,
+            CASE WHEN norm = '' THEN []::VARCHAR[]
+                 WHEN len(words) < 3 THEN [norm]
+                 ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i + 1]
+                          || ' ' || words[i + 2])) END AS shingles
+           FROM w),
+    hv AS (SELECT doc_id, list_transform(shingles, s ->
+                CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)
+                     % {two61} AS HUGEINT)) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id,
+            CASE WHEN len(hs) = 0
+                 THEN list_transform(generate_series(1, 32), p -> 0)
+            ELSE list_transform(generate_series(1, 32), p ->
+                CAST(list_min(list_transform(hs, h ->
+                    CAST(((pa[p] * h + pb[p]) % {two64})
+                         % {_MERSENNE61} AS BIGINT))) AS BIGINT)) END AS s
+            FROM hv, ab),
+    banded AS (SELECT doc_id, band,
+            CAST(CASE WHEN bh >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN bh - {two64} ELSE bh END AS BIGINT) AS band_hash
+            FROM (SELECT doc_id, band,
+                    CAST('0x' || substr(md5(
+                        '(' || s[band * 4 + 1] || ', ' || s[band * 4 + 2]
+                        || ', ' || s[band * 4 + 3] || ', '
+                        || s[band * 4 + 4] || ')'), 1, 16)
+                        AS UBIGINT)::HUGEINT AS bh
+                  FROM sig, (SELECT unnest(generate_series(0, 7)) AS band))),
+    capped AS (SELECT doc_id, band, band_hash FROM banded
+               QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 512)
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@query("minhash_lsh_candidates", oracle=_minhash_oracle())
 def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms, md5-based) + 8-band LSH candidate pairs.
-    No SQL oracle: banding is approximate by design; exactness is covered
-    by ngram_jaccard_dups and by pytest (candidates ⊇ high-J pairs)."""
+    """MinHash(32 perms, md5-based) + 8-band LSH candidate pairs with
+    the enforced bucket cap. Oracle: the entire pipeline re-derived in
+    DuckDB SQL (signatures, band hashes, cap, join) — exact; recall
+    properties are additionally covered by ngram_jaccard_dups and
+    pytest (candidates ⊇ high-J pairs)."""
     return minhash_lsh_candidates(t(spark, sf_dir, "documents"),
                                   "doc_id", "text")
 
 
-@query("simhash_near_dups")  # rows-only
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash64 + the 4x16-bit band join: md5-derived
+    unsigned 64-bit shingle hashes (hex-literal cast matches Python's
+    big-endian int), per-bit +-1 majority summed in HUGEINT via a
+    hoisted power table, signed conversion, band chunks by integer
+    division, pigeonhole join, exact hamming verify."""
+    pow2 = "[" + ", ".join(f"CAST('{1 << b}' AS HUGEINT)"
+                           for b in range(64)) + "]"
+    pow16 = ("[CAST(1 AS HUGEINT), CAST(65536 AS HUGEINT), "
+             "CAST('4294967296' AS HUGEINT), "
+             "CAST('281474976710656' AS HUGEINT)]")
+    return f"""
+    WITH p2 AS (SELECT {pow2} AS pow2, {pow16} AS pow16),
+    d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM d),
+    sh AS (SELECT doc_id,
+            CASE WHEN norm = '' THEN []::VARCHAR[]
+                 WHEN len(words) < 2 THEN [norm]
+                 ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - 1),
+                     i -> words[i] || ' ' || words[i + 1])) END AS shingles
+           FROM w),
+    hv AS (SELECT doc_id, list_transform(shingles,
+                s -> CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)) AS hs
+           FROM sh),
+    sim AS (SELECT doc_id, pow16,
+            CASE WHEN len(hs) = 0 THEN CAST(0 AS HUGEINT)
+            ELSE list_aggregate(list_transform(generate_series(0, 63),
+                b -> CASE WHEN list_aggregate(list_transform(hs, h ->
+                    CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END),
+                    'sum') > 0 THEN pow2[b + 1]
+                ELSE CAST(0 AS HUGEINT) END), 'sum') END AS vu
+            FROM hv, p2),
+    signed AS (SELECT doc_id, pow16, vu,
+            CAST(CASE WHEN vu >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN vu - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE vu END AS BIGINT) AS simhash
+            FROM sim),
+    banded AS (SELECT doc_id, simhash, band,
+            CAST((vu // pow16[band + 1]) % 65536 AS BIGINT) AS chunk
+            FROM signed, (SELECT unnest([0, 1, 2, 3]) AS band)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+                     a.simhash AS h1, b.simhash AS h2
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id)
+    SELECT doc1, doc2,
+           CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(h1, h2)) <= 3
+    """
+
+
+@query("simhash_near_dups", oracle=_simhash_oracle())
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 + 4x16-bit band join, exact hamming<=3 verify."""
+    """SimHash64 + 4x16-bit band join, exact hamming<=3 verify. Oracle:
+    the entire pipeline (signature, banding, pigeonhole join, verify)
+    re-derived in DuckDB SQL — exact, not rows-only."""
     return simhash_near_dups(t(spark, sf_dir, "documents"),
                              "doc_id", "text")
 
@@ -420,11 +535,45 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(run, schema=sch))
 
 
-@query("minhash_then_verify")  # LSH recall is probabilistic → rows-only
+def _minhash_verify_oracle() -> str:
+    """Candidates (the full minhash oracle as a subquery) joined back to
+    per-doc shingle sets for the exact-Jaccard verify at threshold
+    0.5 — same empty-set convention as kernel jaccard() (both empty →
+    1.0)."""
+    return f"""
+    WITH cands AS ({_minhash_oracle()}),
+    d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM d),
+    sh AS (SELECT doc_id,
+            CASE WHEN norm = '' THEN []::VARCHAR[]
+                 WHEN len(words) < 3 THEN [norm]
+                 ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - 2),
+                     i -> words[i] || ' ' || words[i + 1]
+                          || ' ' || words[i + 2])) END AS shingles
+           FROM w),
+    j AS (SELECT c.doc1, c.doc2,
+            len(list_intersect(a.shingles, b.shingles)) AS inter,
+            len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS uni
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.doc1
+          JOIN sh b ON b.doc_id = c.doc2)
+    SELECT doc1, doc2,
+           CASE WHEN uni = 0 THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(inter AS DOUBLE) / uni END AS jaccard
+    FROM j
+    WHERE (CASE WHEN uni = 0 THEN CAST(1.0 AS DOUBLE)
+           ELSE CAST(inter AS DOUBLE) / uni END) >= CAST(0.5 AS DOUBLE)
+    """
+
+
+@query("minhash_then_verify", oracle=_minhash_verify_oracle())
 def minhash_then_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalable near-dup pipeline: MinHash-LSH candidates → exact
     Jaccard verify of candidates only. Every emitted pair is exactly
-    >= threshold (verified); misses bounded by the banding curve."""
+    >= threshold (verified); misses bounded by the banding curve.
+    Oracle: candidates subquery + exact set-Jaccard in SQL."""
     from my_ocr_spark.operators.dedup import minhash_then_verify
 
     return minhash_then_verify(t(spark, sf_dir, "documents"),
@@ -445,11 +594,60 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=3, n_probe=2)
 
 
-@query("embedding_ann_lsh")  # approximate → rows-only
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of lsh_ann_topk: the 8x64 hyperplane matrix is
+    embedded as exact double literals (repr round-trips via strtod);
+    bucket signs use the same explicit left-to-right fold over dims the
+    kernel now uses (BLAS matmul was replaced — its blocked summation
+    order is not reproducible); cosine rescoring is the proven
+    fold-parity expression; rank ties break on neighbor_id."""
+    from my_ocr_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    rows = ", ".join(
+        "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in row) + "]"
+        for row in planes)
+    fold = (lambda a, b: f"list_aggregate(list_transform("
+            f"generate_series(1, 64), i -> CAST({a}[i] AS DOUBLE)"
+            f" * CAST({b}[i] AS DOUBLE)), 'sum')")
+    return f"""
+    WITH pl AS (SELECT [{rows}] AS planes,
+                       [1, 2, 4, 8, 16, 32, 64, 128] AS pw),
+    b AS (SELECT vec_id, embedding,
+            CAST(list_aggregate(list_transform(generate_series(1, 8),
+                p -> CASE WHEN list_aggregate(list_transform(
+                        generate_series(1, 64), i ->
+                        CAST(embedding[i] AS DOUBLE) * planes[p][i]),
+                        'sum') > 0
+                     THEN pw[p] ELSE 0 END), 'sum') AS INTEGER) AS bucket
+          FROM embeddings, pl),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket,
+                 sqrt({fold('embedding', 'embedding')}) AS qn
+          FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket,
+                 sqrt({fold('embedding', 'embedding')}) AS cn
+          FROM b),
+    j AS (SELECT c.neighbor_id, q.query_id,
+                 {fold('c.cv', 'q.qv')} / (c.cn * q.qn) AS cos
+          FROM c JOIN q ON c.bucket = q.bucket
+          WHERE c.neighbor_id != q.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)
+                     AS rank
+          FROM j)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+    FROM r WHERE rank <= 3
+    """
+
+
+@query("embedding_ann_lsh", oracle=_ann_lsh_oracle())
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (8 hyperplanes, seed 42): the 100TB-scale variant
-    of embedding_cosine_topk. Approximate by design → rows-only check;
-    recall vs brute force asserted in pytest."""
+    of embedding_cosine_topk. Oracle: the full pipeline (plane signs,
+    bucket join, exact cosine rescore, rank) re-derived in DuckDB —
+    'approximate' is the recall property, not nondeterminism; recall vs
+    brute force additionally asserted in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
