@@ -774,3 +774,108 @@ def warp_crop_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_WARP_OUT)
+
+
+_SV_OUT = T.StructType([
+    T.StructField("poly_id", T.LongType(), False),
+    T.StructField("ring_csv", T.StringType(), False),
+])
+
+
+@query(
+    "sort_vertex_ring",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS poly_id,
+               CAST(20 + o_orderkey % 30 AS DOUBLE) AS a,
+               CAST(5 + o_orderkey % 17 AS DOUBLE) AS b,
+               CAST(o_orderkey % 50 AS DOUBLE) AS tx,
+               CAST(o_orderkey % 70 AS DOUBLE) AS ty,
+               o_orderkey % 4 AS rot, o_orderkey % 2 AS flip
+        FROM orders
+    ),
+    corners AS (
+        SELECT poly_id, rot, flip,
+               [[tx, ty],
+                [tx + a * 0.6, ty + a * 0.8],
+                [tx + a * 0.6 - b * 0.8, ty + a * 0.8 + b * 0.6],
+                [tx - b * 0.8, ty + b * 0.6]] AS ring
+        FROM base
+    ),
+    scrambled AS (
+        SELECT poly_id,
+               list_transform(generate_series(0, 3), j ->
+                   ring[((j * (1 + 2 * flip) + rot) % 4) + 1]) AS pts
+        FROM corners
+    ),
+    cent AS (
+        SELECT poly_id, pts,
+               (pts[1][1] + pts[2][1] + pts[3][1] + pts[4][1]) / 4 AS cx,
+               (pts[1][2] + pts[2][2] + pts[3][2] + pts[4][2]) / 4 AS cy,
+               least(pts[1][1], pts[2][1], pts[3][1], pts[4][1]) AS mnx,
+               least(pts[1][2], pts[2][2], pts[3][2], pts[4][2]) AS mny
+        FROM scrambled
+    ),
+    ring AS (
+        SELECT poly_id, mnx, mny,
+               list_transform(
+                   list_sort(list_transform(generate_series(1, 4), i ->
+                       [atan2(pts[i][2] - cy, pts[i][1] - cx),
+                        CAST(i AS DOUBLE),
+                        pts[i][1], pts[i][2]])),
+                   e -> [e[3], e[4]]) AS ring
+        FROM cent
+    ),
+    rot2 AS (
+        SELECT poly_id, ring,
+               CAST(list_min(list_transform(generate_series(1, 4), i ->
+                   [sqrt((ring[i][1] - mnx) ** 2
+                         + (ring[i][2] - mny) ** 2),
+                    CAST(i AS DOUBLE)]))[2] AS BIGINT) AS start_i
+        FROM ring
+    )
+    SELECT poly_id,
+           array_to_string(list_transform(generate_series(0, 3), j ->
+               CAST(round(ring[((start_i - 1 + j) % 4) + 1][1], 4)
+                    AS VARCHAR)
+               || ':'
+               || CAST(round(ring[((start_i - 1 + j) % 4) + 1][2], 4)
+                       AS VARCHAR)), ',') AS ring_csv
+    FROM rot2
+    """,
+)
+def sort_vertex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_vertex quad normalization (box_utils.py:6-54 via
+    kernel/warp.sort_quad_vertices): corners of a rotated rectangle,
+    scrambled by a key-dependent permutation, are re-ordered clockwise
+    starting at the corner nearest the bbox top-left. The Spark side
+    runs the real kernel (angular sort around the centroid); the oracle
+    replays the same sort in SQL — atan2/hypot are only used for
+    ORDERING and the fixture's corner angles are ~90 degrees apart, so
+    cross-engine libm ulp differences cannot flip the order. Ring
+    emitted as a rounded CSV (array outputs are hasher-risky)."""
+    from my_ocr_spark.kernel.warp import sort_quad_vertices
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"poly_id": [], "ring_csv": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                a, b = 20.0 + k % 30, 5.0 + k % 17
+                tx, ty = float(k % 50), float(k % 70)
+                ring = [(tx, ty),
+                        (tx + a * 0.6, ty + a * 0.8),
+                        (tx + a * 0.6 - b * 0.8, ty + a * 0.8 + b * 0.6),
+                        (tx - b * 0.8, ty + b * 0.6)]
+                rot, flip = k % 4, k % 2
+                pts = [ring[(j * (1 + 2 * flip) + rot) % 4]
+                       for j in range(4)]
+                srt = sort_quad_vertices(np.array(pts, dtype=np.float64))
+                out["poly_id"].append(k)
+                out["ring_csv"].append(",".join(
+                    f"{round(x, 4)}:{round(y, 4)}" for x, y in srt))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_SV_OUT)
