@@ -44,7 +44,14 @@ def merge_disks(disks, overlap_thr: float) -> np.ndarray:
         thr = (d[i, 2] + d[np.array(rest), 2]) * overlap_thr
         absorb = [r for r, hit in zip(rest, dist <= thr) if hit]
         if absorb:
-            merged.append(d[[i] + absorb].mean(axis=0))
+            # left-to-right accumulation (not numpy's pairwise mean):
+            # the summation order is part of the contract — the SQL
+            # oracle folds the same group in the same order, so the
+            # emitted doubles agree bit-for-bit
+            acc = d[i].copy()
+            for j in absorb:
+                acc += d[j]
+            merged.append(acc / (1 + len(absorb)))
         else:
             merged.append(d[i])
         remaining = [r for r, hit in zip(rest, dist <= thr) if not hit]

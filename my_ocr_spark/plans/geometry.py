@@ -82,17 +82,58 @@ _NMS_OUT = T.StructType([
 ])
 
 
-@query("poly_nms_greedy")  # greedy = inherently sequential → rows-only
+_NMS_GREEDY_ORACLE = f"""
+    WITH RECURSIVE boxes AS (
+        SELECT box_id, img, s, e, score,
+               row_number() OVER (PARTITION BY img
+                                  ORDER BY score DESC, box_id, s, e)
+                   AS rnk
+        FROM ({_BOXES_SQL})
+    ),
+    sizes AS (SELECT img, max(rnk) AS mx FROM boxes GROUP BY img),
+    greedy(img, r, kept) AS (
+        -- kept tracks per-img RANKS (box_id is not unique in the
+        -- synthetic lineitem; rnk is unique by construction)
+        SELECT img, 0, []::BIGINT[] FROM sizes
+        UNION ALL
+        SELECT g.img, g.r + 1,
+            CASE WHEN NOT EXISTS (
+                SELECT 1 FROM boxes k
+                WHERE k.img = g.img AND list_contains(g.kept, k.rnk)
+                  AND greatest(0.0, least(k.e, b.e) - greatest(k.s, b.s))
+                      / ((b.e - b.s) + (k.e - k.s)
+                         - greatest(0.0, least(k.e, b.e)
+                                    - greatest(k.s, b.s)))
+                      > CAST(0.5 AS DOUBLE)
+            ) THEN list_append(g.kept, b.rnk) ELSE g.kept END
+        FROM greedy g
+        JOIN boxes b ON b.img = g.img AND b.rnk = g.r + 1
+    )
+    SELECT b.img, b.box_id, b.score
+    FROM greedy g
+    JOIN sizes n ON n.img = g.img AND g.r = n.mx
+    JOIN boxes b ON b.img = g.img AND list_contains(g.kept, b.rnk)
+"""
+
+
+@query("poly_nms_greedy", oracle=_NMS_GREEDY_ORACLE)
 def poly_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact greedy NMS (wrapper.py:477-498 semantics: take best-scored,
     suppress overlapping, repeat) per image via applyInPandas — bounded
     per-image work, images processed in parallel. Stable tie-break by
-    box_id mirrors the reference's stable sort (wrapper.py:480)."""
+    box_id mirrors the reference's stable sort (wrapper.py:480).
+    Oracle: the greedy recurrence itself, as a per-image recursive CTE
+    that advances one rank per iteration carrying the kept set — exact,
+    not rows-only (sequential != nondeterministic)."""
     b = _boxes(spark, sf_dir)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["score", "box_id"],
-                              ascending=[False, True], kind="mergesort")
+        # TOTAL order: box_id alone is not unique in the synthetic data,
+        # and ties with different geometry would make the greedy result
+        # depend on arrival order — (s, e) completes the key
+        pdf = pdf.sort_values(["score", "box_id", "s", "e"],
+                              ascending=[False, True, True, True],
+                              kind="mergesort")
         kept: list = []
         out = {"img": [], "box_id": [], "score": []}
         for r in pdf.itertuples(index=False):
@@ -488,13 +529,86 @@ _DISKS_OUT = T.StructType([
 ])
 
 
-@query("merge_disks_greedy")  # greedy sequential merge → rows-only
+_MERGE_DISKS_ORACLE = """
+    WITH RECURSIVE disks AS (
+        SELECT l_orderkey % 1000 AS img,
+               CAST(l_partkey % 300 AS DOUBLE) AS x,
+               CAST(l_suppkey % 200 AS DOUBLE) AS y,
+               CAST(l_linenumber * 3 + 5 AS DOUBLE) AS r,
+               round(l_discount * 10, 2) AS score
+        FROM lineitem
+    ),
+    ranked AS (
+        -- input order (x, y, r, score) asc, then greedy order
+        -- (score desc, input index asc) == one total rank
+        SELECT img, x, y, r, score,
+               row_number() OVER (PARTITION BY img
+                                  ORDER BY score DESC, x, y, r) AS rnk
+        FROM disks
+    ),
+    packed AS (
+        -- rnk-indexed coordinate arrays per image: the recursion and
+        -- its lambdas index these directly (DuckDB forbids subqueries
+        -- inside lambda expressions)
+        SELECT img,
+               array_agg(x ORDER BY rnk) AS xs,
+               array_agg(y ORDER BY rnk) AS ys,
+               array_agg(r ORDER BY rnk) AS rs,
+               array_agg(score ORDER BY rnk) AS ss,
+               max(rnk) AS mx
+        FROM ranked GROUP BY img
+    ),
+    greedy(img, xs, ys, rs, ss, remaining, head, absorbed) AS (
+        SELECT img, xs, ys, rs, ss,
+               list_transform(generate_series(1, mx), i -> i),
+               CAST(NULL AS BIGINT), []::BIGINT[]
+        FROM packed
+        UNION ALL
+        SELECT img, xs, ys, rs, ss,
+               list_filter(remaining[2:], j ->
+                   NOT (sqrt((xs[j] - xs[remaining[1]]) ** 2
+                             + (ys[j] - ys[remaining[1]]) ** 2)
+                        <= (rs[remaining[1]] + rs[j])
+                           * CAST(0.5 AS DOUBLE))),
+               remaining[1],
+               list_filter(remaining[2:], j ->
+                   sqrt((xs[j] - xs[remaining[1]]) ** 2
+                        + (ys[j] - ys[remaining[1]]) ** 2)
+                   <= (rs[remaining[1]] + rs[j]) * CAST(0.5 AS DOUBLE))
+        FROM greedy WHERE len(remaining) > 0
+    ),
+    agg AS (
+        SELECT img, len(list_prepend(head, absorbed)) AS n,
+               list_aggregate(list_transform(list_prepend(head, absorbed),
+                   j -> xs[j]), 'sum') AS sx,
+               list_aggregate(list_transform(list_prepend(head, absorbed),
+                   j -> ys[j]), 'sum') AS sy,
+               list_aggregate(list_transform(list_prepend(head, absorbed),
+                   j -> rs[j]), 'sum') AS sr,
+               list_aggregate(list_transform(list_prepend(head, absorbed),
+                   j -> ss[j]), 'sum') AS sum_s
+        FROM greedy WHERE head IS NOT NULL
+    )
+    SELECT img,
+           floor(sx / n * 10000 + 0.5) / 10000 AS mx,
+           floor(sy / n * 10000 + 0.5) / 10000 AS my,
+           floor(sr / n * 10000 + 0.5) / 10000 AS mr,
+           floor(sum_s / n * 10000 + 0.5) / 10000 AS mscore
+    FROM agg
+"""
+
+
+@query("merge_disks_greedy", oracle=_MERGE_DISKS_ORACLE)
 def merge_disks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextSnake merge_disks (wrapper.py:275-303): greedy score-ordered
     merge of overlapping center disks, merged disk = group mean — per
     image in applyInPandas over the kernel (exact goldens in
     tests/test_pathops.py). Stable score-tie break by input index
-    (documented divergence from the reference's unstable argsort)."""
+    (documented divergence from the reference's unstable argsort).
+    Oracle: the greedy recurrence as a recursive CTE carrying the
+    remaining-rank list; group means summed in the same order and
+    rounded identically (floor-based — Python round() is banker's and
+    diverges from DuckDB at exact dyadic halves like k/32)."""
     from my_ocr_spark.kernel.pathops import merge_disks
 
     li = t(spark, sf_dir, "lineitem")
@@ -514,10 +628,13 @@ def merge_disks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   arr[:, 0]))]
             for mx, my, mr, ms in merge_disks(arr, 0.5):
                 out["img"].append(int(img))
-                out["mx"].append(round(mx, 4))
-                out["my"].append(round(my, 4))
-                out["mr"].append(round(mr, 4))
-                out["mscore"].append(round(ms, 4))
+                # floor-based 4dp rounding, NOT round(): Python rounds
+                # half-to-even, DuckDB half-away — floor(x*1e4+0.5) is
+                # the same function on the same doubles in both engines
+                out["mx"].append(np.floor(mx * 10000 + 0.5) / 10000)
+                out["my"].append(np.floor(my * 10000 + 0.5) / 10000)
+                out["mr"].append(np.floor(mr * 10000 + 0.5) / 10000)
+                out["mscore"].append(np.floor(ms * 10000 + 0.5) / 10000)
         return pd.DataFrame(out) if out["img"] else pd.DataFrame({
             "img": pd.Series(dtype="int64"),
             "mx": pd.Series(dtype="float64"),
