@@ -253,7 +253,25 @@ _DECODE_OUT = T.StructType([
 ])
 
 
-@query("multimodal_decode_stub")  # no image libs in container → stub path
+_B = lambda i: f"CAST('0x' || substr(md5(coalesce(text, '')), {2*i+1}, 2) AS INT)"  # noqa: E731
+_DECODE_ORACLE = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END
+               AS media_type,
+           CAST(320 + {_B(0)} % 16 * 80 AS INTEGER) AS width,
+           CAST(240 + {_B(1)} % 16 * 60 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 + {_B(2)} % 8
+                ELSE 1 END AS INTEGER) AS n_frames,
+           sqrt(list_aggregate(list_transform(generate_series(0, 15), i ->
+               CAST(CAST('0x' || substr(md5(coalesce(text, '')),
+                    2 * i + 1, 2) AS INT) AS DOUBLE) ** 2), 'sum'))
+               AS feature_l2,
+           'stub' AS decoder
+    FROM documents
+"""
+
+
+@query("multimodal_decode_stub", oracle=_DECODE_ORACLE)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column processing: binary payload → typed metadata +
     feature vector (LoadImageFromFile/LMDB analog, loading.py:84-184).
@@ -262,7 +280,12 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL/OpenCV once per executor and decodes real payloads when a
     library exists, falling back to the labeled deterministic stub
     otherwise (this container has no image libs, so the driver sees the
-    stub path; the `decoder` column reports which path ran)."""
+    stub path; the `decoder` column reports which path ran).
+    Oracle: the stub metadata is md5-derived, so DuckDB re-derives it
+    byte-for-byte (hex-substring byte extraction; the l2 feature is an
+    exact integer-square sum under sqrt). Environment-independent for
+    THESE payloads: they are text bytes, which no image library decodes,
+    so the guarded path falls back to the stub even where PIL exists."""
     from my_ocr_spark.operators.multimodal import decode_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -399,3 +422,74 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("session_window.start").alias("session_start"),
                      F.col("session_window.end").alias("session_end"),
                      "n_events"))
+
+
+_FRAME_OUT = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_tag", T.StringType(), False),
+])
+
+
+@query(
+    "frame_sample_plan",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id, coalesce(text, '') AS payload_text,
+               1 + CAST('0x' || substr(md5(coalesce(text, '')), 5, 2)
+                   AS INT) % 8 AS nf
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+           CAST(unnest(generate_series(0, nf - 1,
+                CAST(ceil(nf / 4.0) AS INT))) AS INTEGER) AS frame_idx,
+           md5(payload_text || ':' ||
+               CAST(unnest(generate_series(0, nf - 1,
+                    CAST(ceil(nf / 4.0) AS INT))) AS VARCHAR)) AS frame_tag
+    FROM v
+    """,
+)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plan (the temporal analog of
+    LoadImageFromFile): for each video payload, decode metadata
+    (guarded stub here — operators/multimodal), then emit every
+    ceil(n_frames/4)-th frame index with a per-frame content tag
+    (md5(payload:idx) — the deterministic stand-in for the frame hash a
+    real decoder would produce). The decode step is the only stubbed
+    element; the plan shape — metadata decode → JVM-side sequence
+    explode, no per-frame Python — is what carries to a real ffmpeg
+    backend at scale."""
+    from my_ocr_spark.operators.multimodal import decode_payload
+
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "text"))
+
+    meta_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload_text", T.StringType(), False),
+        T.StructField("nf", T.IntegerType(), False),
+    ])
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "payload_text": [], "nf": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = (text or "").encode("utf-8")
+                _w, _h, nf, _l2, _dec = decode_payload(payload)
+                rows["doc_id"].append(doc_id)
+                rows["payload_text"].append(text or "")
+                rows["nf"].append(nf)
+            yield pd.DataFrame(rows)
+
+    m = docs.mapInPandas(meta, schema=meta_schema)
+    step = F.ceil(F.col("nf") / 4.0).cast("int")
+    return (m.withColumn("frame_idx",
+                         F.explode(F.sequence(F.lit(0),
+                                              F.col("nf") - 1, step)))
+             .select("doc_id", F.col("nf").alias("n_frames"),
+                     F.col("frame_idx").cast("int").alias("frame_idx"),
+                     F.md5(F.concat(F.col("payload_text"), F.lit(":"),
+                                    F.col("frame_idx").cast("string")))
+                      .alias("frame_tag")))
