@@ -75,8 +75,6 @@ def write_with_lineage(df: DataFrame, out_dir: str, key_col: str = "url",
     a bucket without a manifest is treated as uncommitted and rewritten on
     resume. This is the directory-manifest emulation of an Iceberg
     snapshot commit (SURVEY.md §7.3.3)."""
-    import json
-
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     b = with_bucket(df, key_col, n_buckets)
@@ -84,6 +82,26 @@ def write_with_lineage(df: DataFrame, out_dir: str, key_col: str = "url",
     todo = sorted(set(range(n_buckets)) - done)
     mdir = os.path.join(out_dir, "_lineage")
     os.makedirs(mdir, exist_ok=True)
+    written = []
+    if todo:
+        # each bucket is its own commit unit (two jobs: data + stats),
+        # so WITHOUT materialization the upstream pipeline would re-run
+        # 2 x len(todo) times — the per-bucket resume granularity is
+        # worth one disk-backed cache, not that
+        b = b.persist()
+    try:
+        written = _write_buckets(b, todo, out_dir, mdir,
+                                 key_col, payload_col)
+    finally:
+        if todo:
+            b.unpersist()
+    return {"written": written, "skipped": sorted(done)}
+
+
+def _write_buckets(b: DataFrame, todo, out_dir: str, mdir: str,
+                   key_col: str, payload_col: str) -> list:
+    import json
+
     written = []
     for bucket in todo:
         part = b.filter(F.col(BUCKET_COL) == bucket)
@@ -107,7 +125,7 @@ def write_with_lineage(df: DataFrame, out_dir: str, key_col: str = "url",
             json.dump(manifest, f)
         os.replace(tmp, final)  # atomic commit point
         written.append(bucket)
-    return {"written": written, "skipped": sorted(done)}
+    return written
 
 
 def read_lineage_manifests(out_dir: str) -> list[dict]:

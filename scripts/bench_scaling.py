@@ -67,30 +67,54 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     # 400 copies -> 2M pages / 1.7 GB: large enough that fixed overheads
     # (JVM spin-up tails, python worker pool) amortize out of the 32-core
-    # level; at 200 copies they depressed efficiency_8_32 to ~0.73 vs the
-    # 0.85 measured at 400 (both pairs meet the >=0.8 rule at 400)
+    # level (at 200 copies they depressed efficiency_8_32 by ~0.1)
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 400
-    results = {c: run_level(c, sf_dir, copies) for c in (4, 8, 16, 32)}
-    eff_4_16 = (results[16]["docs_per_sec"]
-                / results[4]["docs_per_sec"]) / 4.0
-    eff_8_32 = (results[32]["docs_per_sec"]
-                / results[8]["docs_per_sec"]) / 4.0
+    ladders = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    # Efficiency is a RATIO, so each ladder (all four levels) runs
+    # back-to-back under the same machine state, and the reported
+    # efficiency is the per-pair MEDIAN across ladders. Taking the best
+    # run per level independently mixes machine states and skews the
+    # ratio either way; single ladders swing +-0.1 run-to-run (measured).
+    runs = []
+    for _ in range(ladders):
+        runs.append({c: run_level(c, sf_dir, copies)
+                     for c in (4, 8, 16, 32)})
+
+    def eff(r, lo, hi):
+        return (r[hi]["docs_per_sec"] / r[lo]["docs_per_sec"]) / 4.0
+
+    import statistics
+    effs_4_16 = sorted(eff(r, 4, 16) for r in runs)
+    effs_8_32 = sorted(eff(r, 8, 32) for r in runs)
+    eff_4_16 = statistics.median(effs_4_16)
+    eff_8_32 = statistics.median(effs_8_32)
+    # table: the ladder with median total throughput (representative)
+    mid = sorted(runs, key=lambda r: sum(x["docs_per_sec"]
+                                         for x in r.values()))[len(runs) // 2]
+    best32 = max(r[32]["docs_per_sec"] for r in runs)
+
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    r = results[8]
+    r = mid[8]
     rows = "\n".join(
-        f"| local[{c}] | {results[c]['wall_sec']:.1f} | "
-        f"{results[c]['docs_per_sec']:.0f} | "
-        f"{results[c]['mb_per_sec']:.1f} |" for c in (4, 8, 16, 32))
+        f"| local[{c}] | {mid[c]['wall_sec']:.1f} | "
+        f"{mid[c]['docs_per_sec']:.0f} | "
+        f"{mid[c]['mb_per_sec']:.1f} |" for c in (4, 8, 16, 32))
     lines = [
         "# BENCH/BASELINE — measured throughput & scaling efficiency",
         "",
         "Protocol (BASELINE.md §B): identical extraction job, identical "
-        "input, N vs 4N cores on the same machine; efficiency = "
-        "(throughput@4N / throughput@N) / 4. Both N=4→16 and N=8→32 "
-        "pairs reported (the sandbox host has exactly 32 cores, so the "
-        "32-core level saturates the whole machine — JVM GC threads, "
-        "Python workers and the OS contend with the task slots, which a "
-        "real 4N-executor cluster would not).",
+        f"input; {ladders} complete fresh-JVM ladders (each = all four "
+        "parallelism levels back-to-back under one machine state); "
+        "efficiency = (throughput@4N / throughput@N) / 4 computed "
+        "WITHIN each ladder, and the reported figure is the per-pair "
+        "MEDIAN across ladders (single ladders swing ±0.1 from page "
+        "cache / JIT / frequency noise; mixing best-per-level runs "
+        "would skew the ratio). Both N=4→16 and N=8→32 pairs reported "
+        "(the host has exactly 32 cores, so the 32-core level saturates "
+        "the whole machine — JVM GC threads, Python workers and the OS "
+        "contend with the task slots, which a real 4N-executor cluster "
+        "would not).",
         "",
         f"Input: {r['n_docs']:,} synthesized Common-Crawl-style pages "
         f"({r['mb']:.0f} MB of HTML) from {sf_dir} ×{copies} "
@@ -98,24 +122,30 @@ def main() -> None:
         "boilerplate strip + span emission (mapInPandas, single narrow "
         "stage, no shuffle of the html column).",
         "",
+        "Representative (median-throughput) ladder:",
+        "",
         "| parallelism | wall_sec | docs/sec | MB/sec |",
         "|---|---|---|---|",
         rows,
         "",
-        f"**Scaling efficiency N=4 → 4N=16: {eff_4_16:.3f}** "
+        f"Peak local[32] throughput across ladders: {best32:.0f} docs/s.",
+        "",
+        f"**Scaling efficiency N=4 → 4N=16: median {eff_4_16:.3f}** "
+        f"(per-ladder: {', '.join(f'{e:.3f}' for e in effs_4_16)}) "
         + ("(meets ≥0.8)" if eff_4_16 >= 0.8 else "(below 0.8)"),
         "",
-        f"**Scaling efficiency N=8 → 4N=32: {eff_8_32:.3f}** "
+        f"**Scaling efficiency N=8 → 4N=32: median {eff_8_32:.3f}** "
+        f"(per-ladder: {', '.join(f'{e:.3f}' for e in effs_8_32)}) "
         + ("(meets ≥0.8)" if eff_8_32 >= 0.8 else
            "(below 0.8 — full-machine saturation, see protocol note)"),
         "",
         "The timed stage contains no shuffle and no driver round-trips, "
         "so on a real cluster the scaling bound is input-split balance, "
-        "not network or coordination. Results JSON:",
+        "not network or coordination. All ladders (JSON):",
         "```json",
-        json.dumps({f"local{c}": results[c] for c in results}
-                   | {"efficiency_4_16": round(eff_4_16, 4),
-                      "efficiency_8_32": round(eff_8_32, 4)}),
+        json.dumps([{f"local{c}": rr[c] for c in rr} for rr in runs]
+                   + [{"efficiency_4_16_median": round(eff_4_16, 4),
+                       "efficiency_8_32_median": round(eff_8_32, 4)}]),
         "```",
     ]
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
