@@ -113,18 +113,129 @@ _PDF_OUT = T.StructType([
 ])
 
 
-@query("pdf_reading_order")  # XY-cut is iterative → rows-only
+def _pdf_oracle() -> str:
+    """DuckDB twin of the full per-page layout pipeline
+    (``page_reading_order_text``): the XY-cut recursion is unrolled as 7
+    window-function levels (7 boxes/page ⇒ ≤6 splits possible, axes
+    alternate exactly as ``_xy_cut_rec`` does: try the preferred axis,
+    fall back to the other); same-line transitive chaining is the proven
+    recursive-CTE min-label closure; x-gap segment splits and line/region
+    ordering reproduce the kernel's sort keys (member order (x0, y0, word)
+    = (x0, input-idx), line order (y0, x0), region order = DFS path)."""
+    boxes = """
+    SELECT l_orderkey AS page_key,
+           CAST(CASE WHEN l_orderkey % 2 = 0 AND l_linenumber % 2 = 1
+                     THEN 300 ELSE 0 END
+                + (l_partkey % 5) * 30 AS DOUBLE) AS x0,
+           CAST(((l_linenumber - 1) // 2) * 20
+                + (l_suppkey % 3) * 2 AS DOUBLE) AS y0,
+           'w' || CAST(l_partkey % 100 AS VARCHAR) AS word
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """
+    lvl = ["""
+    lvl0 AS (SELECT page_key, x0, y0, x0 + 8.0 * length(word) AS x1,
+                    y0 + 12.0 AS y1, word,
+                    '' AS path, 1 AS pref, FALSE AS leaf
+             FROM boxes)"""]
+    for k in range(7):
+        lvl.append(f"""
+    g{k} AS (SELECT *,
+        max(y1) OVER (PARTITION BY page_key, path ORDER BY y0, y1, x0, x1, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmy,
+        max(x1) OVER (PARTITION BY page_key, path ORDER BY x0, x1, y0, y1, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx
+      FROM lvl{k}),
+    f{k} AS (SELECT *,
+        CASE WHEN leaf OR pmy IS NULL OR y0 - pmy < 6.0
+             THEN 0 ELSE 1 END AS fy,
+        CASE WHEN leaf OR pmx IS NULL OR x0 - pmx < 60.0
+             THEN 0 ELSE 1 END AS fx
+      FROM g{k}),
+    b{k} AS (SELECT *,
+        sum(fy) OVER (PARTITION BY page_key, path ORDER BY y0, y1, x0, x1, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS by,
+        sum(fx) OVER (PARTITION BY page_key, path ORDER BY x0, x1, y0, y1, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bx,
+        max(fy) OVER (PARTITION BY page_key, path) AS hy,
+        max(fx) OVER (PARTITION BY page_key, path) AS hx
+      FROM f{k}),
+    lvl{k + 1} AS (SELECT page_key, x0, y0, x1, y1, word,
+        CASE WHEN leaf OR (hy = 0 AND hx = 0) THEN path
+             WHEN (pref = 1 AND hy = 1) OR (pref = 0 AND hx = 0)
+             THEN path || CAST(by AS VARCHAR)
+             ELSE path || CAST(bx AS VARCHAR) END AS path,
+        CASE WHEN leaf OR (hy = 0 AND hx = 0) THEN pref
+             WHEN (pref = 1 AND hy = 1) OR (pref = 0 AND hx = 0)
+             THEN 0 ELSE 1 END AS pref,
+        (leaf OR (hy = 0 AND hx = 0)) AS leaf
+      FROM b{k})""")
+    levels = ",".join(lvl)
+    return f"""
+    WITH RECURSIVE boxes AS ({boxes}),
+    {levels},
+    rb AS (SELECT page_key, path, x0, y0, x1, y1, word,
+             row_number() OVER (PARTITION BY page_key, path
+                                ORDER BY y0, x0, word) AS bid
+           FROM lvl7),
+    e AS (SELECT a.page_key, a.path, a.bid AS src, b.bid AS dst
+          FROM rb a JOIN rb b
+            ON a.page_key = b.page_key AND a.path = b.path
+               AND a.bid <> b.bid
+          WHERE least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+            AND least(a.y1 - a.y0, b.y1 - b.y0) > 0
+            AND (least(a.y1, b.y1) - greatest(a.y0, b.y0))
+                / least(a.y1 - a.y0, b.y1 - b.y0)
+                >= CAST(0.8 AS DOUBLE)),
+    lbl AS (SELECT page_key, path, bid, bid AS lab FROM rb
+            UNION
+            SELECT l.page_key, l.path, e.dst, l.lab
+            FROM lbl l JOIN e ON e.page_key = l.page_key
+                 AND e.path = l.path AND e.src = l.bid),
+    comp AS (SELECT page_key, path, bid, min(lab) AS comp
+             FROM lbl GROUP BY 1, 2, 3),
+    m AS (SELECT rb.*, comp.comp
+          FROM rb JOIN comp USING (page_key, path, bid)),
+    seg0 AS (SELECT *,
+        max(x1) OVER (PARTITION BY page_key, path, comp
+            ORDER BY x0, y0, word
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx
+      FROM m),
+    seg AS (SELECT *,
+        sum(CASE WHEN pmx IS NOT NULL AND x0 - pmx > 10.0
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY page_key, path, comp ORDER BY x0, y0, word
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seg0),
+    lines AS (SELECT page_key, path, comp, sid,
+                min(y0) AS ly0, min(x0) AS lx0,
+                string_agg(word, ' ' ORDER BY x0, y0, word) AS ltext
+              FROM seg GROUP BY 1, 2, 3, 4),
+    agg AS (SELECT page_key,
+              CAST(count(*) AS INTEGER) AS n_lines,
+              string_agg(ltext, chr(10) ORDER BY path, ly0, lx0)
+                  AS ordered_text
+            FROM lines GROUP BY 1),
+    nb AS (SELECT page_key, CAST(count(*) AS INTEGER) AS n_boxes
+           FROM boxes GROUP BY 1)
+    SELECT nb.page_key, nb.n_boxes, agg.ordered_text
+    FROM nb JOIN agg USING (page_key)
+    """
+
+
+@query("pdf_reading_order", oracle=_pdf_oracle())
 def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout branch (SURVEY.md §7.1 step 5): synthesize word boxes
     per 'page' deterministically from lineitem rows, then run the XY-cut +
-    line-stitch kernel per page via applyInPandas. Two-column pages
-    (orderkey%2=0) exercise the column-order path.
+    line-stitch kernel per page via a streaming grouped map. Two-column
+    pages (orderkey%2=0) exercise the column-order path; paired line
+    bands (two linenumbers per y-band, s∈{0,2,4} jitter) exercise the
+    same-line ratio boundary (Δ=2 links, Δ=4 needs transitive chaining)
+    and 30px slots exercise the x-gap segment split both ways.
 
     Scale shape: groupBy(page) shuffles narrow box rows only; per-page box
     counts are bounded (≤7 lineitems/order) — the max_candidates analog.
-    Pages sampled 1-in-10 deterministically: the applyInPandas cost is
-    per-GROUP Python overhead, and 150k two-row groups measure the
-    launcher, not the kernel."""
+    Oracle: the full XY-cut + stitch pipeline re-derived in SQL
+    (see _pdf_oracle)."""
     li = (t(spark, sf_dir, "lineitem")
           .filter(F.col("l_orderkey") % 10 == 0))
     boxes = li.select(
@@ -132,12 +243,11 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two columns for even pages: x offset 300 for odd linenumbers
         (F.when((F.col("l_orderkey") % 2 == 0)
                 & (F.col("l_linenumber") % 2 == 1), 300.0).otherwise(0.0)
-         + (F.col("l_partkey") % 5) * 40.0).alias("x0"),
-        ((F.col("l_linenumber") - 1) * 20.0
+         + (F.col("l_partkey") % 5) * 30.0).alias("x0"),
+        (F.floor((F.col("l_linenumber") - 1) / 2) * 20.0
          + (F.col("l_suppkey") % 3) * 2.0).alias("y0"),
         F.concat(F.lit("w"), (F.col("l_partkey") % 100).cast("string"))
          .alias("word"),
-        F.col("l_quantity").alias("qty"),
     ).withColumn("x1", F.col("x0") + 8.0 * F.length("word")) \
      .withColumn("y1", F.col("y0") + 12.0)
 
