@@ -100,42 +100,63 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    ``centroids``: small numpy array (n_centroids, dim) broadcast into the
-    UDF closure — the product-quantization codebook stays driver-side and
-    tiny; the corpus is scanned once, never shuffled."""
+    ``centroids``: small int64 numpy array (n_centroids, dim) from
+    ``train_centroids_kmeans``, broadcast into the UDF closure — the
+    codebook stays driver-side and tiny; the corpus is scanned once,
+    never shuffled. Distances are exact integers on quantized vectors
+    (see IVF_SCALE), so assignment is order-independent and
+    cross-engine reproducible; ties go to the lowest cell (argmin)."""
     import numpy as np
 
-    cent = np.asarray(centroids, dtype=np.float64)
-    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
-                           1e-12)
+    cent = np.asarray(centroids, dtype=np.int64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=np.float64)
-                            for v in pdf["_vec"]])
-            mn = mat / np.maximum(np.linalg.norm(mat, axis=1,
-                                                 keepdims=True), 1e-12)
-            cell = (mn @ cn.T).argmax(axis=1).astype(np.int32)
+            q = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                        for v in pdf["_vec"]]))
+            d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cell = d.argmin(axis=1).astype(np.int32)
             yield pd.DataFrame({"vid": pdf["_id"], "bucket": cell})
 
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     return src.mapInPandas(run, schema=_BUCKET_SCHEMA)
 
 
+# Quantization scale for the IVF coarse quantizer: cell geometry lives in
+# exact integer space so Lloyd iterations / assignments are bit-free of
+# float summation order (the rescoring stage still uses the original
+# float vectors). 256 keeps ~2 decimal digits of the unit-ish embeddings.
+IVF_SCALE = 256
+
+
+def quantize_vecs(mat):
+    """floor(x*SCALE + 0.5) — same double ops as the SQL twin, exact."""
+    import numpy as np
+
+    return np.floor(np.asarray(mat, dtype=np.float64) * IVF_SCALE
+                    + 0.5).astype(np.int64)
+
+
 def train_centroids_kmeans(df: DataFrame, n_centroids: int = 16,
                            n_iter: int = 5, sample_ids: int = 2048,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding"):
-    """Deterministic mini k-means for the IVF codebook: seed centroids =
-    the ``n_centroids`` lowest-id vectors (no RNG), a few Lloyd iterations
-    over a bounded id-sample collected to the driver. At scale the sample
-    is a fixed-size head — codebook training never touches the full
-    corpus."""
+    """Deterministic quantized mini k-means for the IVF codebook: seed
+    centroids = the ``n_centroids`` lowest-id vectors (no RNG), a few
+    Lloyd iterations over a bounded id-sample collected to the driver.
+    At scale the sample is a fixed-size head — codebook training never
+    touches the full corpus.
+
+    All Lloyd arithmetic is exact int64 on quantized vectors (squared-L2
+    distances, floor-div means, empty cells keep their centroid), so the
+    codebook is a pure function of the sample — reproducible in SQL —
+    rather than depending on float summation order."""
     import numpy as np
 
     sample = (df.filter(F.col(id_col) < sample_ids)
                 .orderBy(id_col).select(vec_col).collect())
-    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    x = quantize_vecs(np.stack([np.asarray(r[0], dtype=np.float64)
+                                for r in sample]))
     cent = x[:n_centroids].copy()
     for _ in range(n_iter):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -143,7 +164,7 @@ def train_centroids_kmeans(df: DataFrame, n_centroids: int = 16,
         for c in range(n_centroids):
             m = x[assign == c]
             if len(m):
-                cent[c] = m.mean(axis=0)
+                cent[c] = np.floor_divide(m.sum(axis=0), len(m))
     return cent
 
 
@@ -153,12 +174,11 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, centroids,
     """IVF ANN: corpus partitioned into centroid cells, each query probes
     its ``n_probe`` nearest cells, exact cosine rescoring within cells.
     Approximate (recall dial = n_probe); at scale this is a bucket
-    equi-join instead of a full scan per query."""
+    equi-join instead of a full scan per query. Cell choice uses the
+    same exact-integer metric as assignment (ties → lower cell)."""
     import numpy as np
 
-    cent = np.asarray(centroids, dtype=np.float64)
-    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
-                           1e-12)
+    cent = np.asarray(centroids, dtype=np.int64)
 
     cb = ivf_assign(corpus, cent, id_col, vec_col)
     c = (corpus.join(cb, corpus[id_col] == cb.vid)
@@ -167,11 +187,11 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, centroids,
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.stack([np.asarray(v, dtype=np.float64)
-                            for v in pdf["_vec"]])
-            mn = mat / np.maximum(np.linalg.norm(mat, axis=1,
-                                                 keepdims=True), 1e-12)
-            order = np.argsort(-(mn @ cn.T), axis=1)[:, :n_probe]
+            q = quantize_vecs(np.stack([np.asarray(v, dtype=np.float64)
+                                        for v in pdf["_vec"]]))
+            d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # stable sort: equal distances probe the lower cell first
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             ids, cells = [], []
             for i, vid in enumerate(pdf["_id"]):
                 for cell in order[i]:

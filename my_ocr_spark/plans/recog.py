@@ -9,7 +9,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
 
-from my_ocr_spark.kernel.codec import DICT36, char_precision_recall
+from my_ocr_spark.kernel.codec import DICT36, char_true_positives
 from my_ocr_spark.plans.registry import query, t
 from my_ocr_spark.plans.relational import _GT_SQL, _PRED_SQL, _gt_pred
 
@@ -64,38 +64,140 @@ def char_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHARPR_OUT = T.StructType([
     T.StructField("n_pairs", T.LongType(), False),
-    T.StructField("sum_char_precision", T.DoubleType(), False),
-    T.StructField("sum_char_recall", T.DoubleType(), False),
+    T.StructField("sum_tp", T.LongType(), False),
+    T.StructField("sum_pred_len", T.LongType(), False),
+    T.StructField("sum_gt_len", T.LongType(), False),
 ])
 
+# three pred families: vowel-stripped (many short blocks), reversed
+# (dense single-char matches, deep recursion), 2-char shift (one long
+# block + flank) — exercises the matcher's split recursion non-trivially
+_CHARPR_PAIRS = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN regexp_replace(lower(substr(text, 1, 30)),
+                                    '[aeiou]', '', 'g')
+                WHEN doc_id % 3 = 1
+                THEN reverse(lower(substr(text, 1, 24)))
+                ELSE lower(substr(text, 3, 24)) END AS pred,
+           lower(substr(text, 1, 24)) AS gt
+    FROM documents WHERE length(text) > 0
+"""
 
-@query("char_precision_recall_agg")  # LCS matching → rows-only
+
+def _charpr_oracle() -> str:
+    """DuckDB twin of SequenceMatcher matching-block totals
+    (Ratcliff–Obershelp, what ``char_true_positives`` computes): global
+    maximal diagonal runs via gaps-and-islands windows, then a recursive
+    CTE replays the divide-and-conquer — each segment picks its best
+    block (clipped run, max len → min i → min j, difflib's tie rule,
+    property-tested vs difflib on 4000 random pairs) via a correlated
+    argmax subquery and emits two child segments. Integer aggregates are
+    order-independent; micro P/R are single exact-int divisions."""
+    # clipped-run expressions shared by the filter and the ORDER BY
+    ci = "greatest(r.i0, c.alo, r.d + c.blo)"
+    ck = f"least(r.i0 + r.len, c.ahi, r.d + c.bhi) - {ci}"
+    best = f"""(SELECT {{'i': {ci}, 'j': {ci} - r.d, 'k': {ck}}}
+            FROM runs r
+            WHERE r.doc_id = c.doc_id AND {ck} > 0
+            ORDER BY {ck} DESC, {ci} ASC, {ci} - r.d ASC
+            LIMIT 1)"""
+    return f"""
+    WITH RECURSIVE pairs AS ({_CHARPR_PAIRS}),
+    mp AS (SELECT doc_id, pred,
+                  unnest(generate_series(1, length(pred))) AS i
+           FROM pairs),
+    mg AS (SELECT doc_id, gt,
+                  unnest(generate_series(1, length(gt))) AS j
+           FROM pairs),
+    matches AS (SELECT mp.doc_id, mp.i, mg.j, mp.i - mg.j AS d
+                FROM mp JOIN mg ON mp.doc_id = mg.doc_id
+                     AND substr(mp.pred, mp.i, 1) = substr(mg.gt, mg.j, 1)),
+    isl AS (SELECT doc_id, d, i,
+                   i - row_number() OVER (PARTITION BY doc_id, d
+                                          ORDER BY i) AS grp
+            FROM matches),
+    runs AS (SELECT doc_id, d, min(i) AS i0, count(*) AS len
+             FROM isl GROUP BY doc_id, d, grp),
+    seg AS (
+        SELECT c.doc_id, c.alo, c.ahi, c.blo, c.bhi, {best} AS best
+        FROM (SELECT doc_id, 1 AS alo, length(pred) + 1 AS ahi,
+                     1 AS blo, length(gt) + 1 AS bhi
+              FROM pairs) c
+        UNION ALL
+        SELECT c.doc_id, c.alo, c.ahi, c.blo, c.bhi, {best} AS best
+        FROM (SELECT s.doc_id,
+                CASE WHEN side.k = 0 THEN s.alo
+                     ELSE s.best.i + s.best.k END AS alo,
+                CASE WHEN side.k = 0 THEN s.best.i ELSE s.ahi END AS ahi,
+                CASE WHEN side.k = 0 THEN s.blo
+                     ELSE s.best.j + s.best.k END AS blo,
+                CASE WHEN side.k = 0 THEN s.best.j ELSE s.bhi END AS bhi
+              FROM seg s CROSS JOIN (VALUES (0), (1)) side(k)
+              WHERE s.best IS NOT NULL) c
+        WHERE c.alo < c.ahi AND c.blo < c.bhi
+    ),
+    tp AS (SELECT doc_id, sum(coalesce(best.k, 0)) AS tp
+           FROM seg GROUP BY doc_id),
+    per AS (SELECT p.doc_id, coalesce(tp.tp, 0) AS tp,
+                   length(p.pred) AS plen, length(p.gt) AS glen
+            FROM pairs p LEFT JOIN tp USING (doc_id)),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(tp) AS BIGINT) AS sum_tp,
+                   CAST(sum(plen) AS BIGINT) AS sum_pred_len,
+                   CAST(sum(glen) AS BIGINT) AS sum_gt_len
+            FROM per)
+    SELECT n_pairs, sum_tp, sum_pred_len, sum_gt_len,
+           CAST(sum_tp AS DOUBLE) / CAST(sum_pred_len AS DOUBLE)
+               AS micro_precision,
+           CAST(sum_tp AS DOUBLE) / CAST(sum_gt_len AS DOUBLE)
+               AS micro_recall
+    FROM agg
+    """
+
+
+@query("char_precision_recall_agg", oracle=_charpr_oracle())
 def char_precision_recall_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-level P/R via LCS matching (ocr_metric.py:7-81) over
-    deterministic (pred, gt) pairs; LCS is not SQL-expressible → kernel
-    pandas UDF with map-side partial sums, one tiny final agg."""
+    """Char-level P/R via SequenceMatcher block matching
+    (ocr_metric.py:7-81) over deterministic (pred, gt) pairs. Aggregates
+    are exact integers (matched chars / lengths) so the distributed sum
+    is order-independent; micro P/R are single divisions of exact ints —
+    bit-identical across engines. The per-pair macro averages stay
+    covered by kernel unit goldens; the matcher itself is oracled here by
+    a recursive-CTE replay of Ratcliff–Obershelp (see _charpr_oracle)."""
     d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    gt = F.lower(F.substring("text", 1, 60))
-    pred = F.when(F.col("doc_id") % 2 == 0,
-                  F.lower(F.substring("text", 3, 60))).otherwise(gt)
+    gt = F.lower(F.substring("text", 1, 24))
+    pred = (F.when(F.col("doc_id") % 3 == 0,
+                   F.regexp_replace(F.lower(F.substring("text", 1, 30)),
+                                    "[aeiou]", ""))
+             .when(F.col("doc_id") % 3 == 1, F.reverse(gt))
+             .otherwise(F.lower(F.substring("text", 3, 24))))
     pairs = d.select(pred.alias("pred"), gt.alias("gt"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n, sp, sr = 0, 0.0, 0.0
+        n, tp, pl, gl = 0, 0, 0, 0
         for pdf in batches:
             for p_, g_ in zip(pdf["pred"], pdf["gt"]):
-                p, r = char_precision_recall(p_ or "", g_ or "")
+                p_, g_ = p_ or "", g_ or ""
+                tp += char_true_positives(p_, g_)
+                pl += len(p_)
+                gl += len(g_)
                 n += 1
-                sp += p
-                sr += r
-        yield pd.DataFrame({"n_pairs": [n], "sum_char_precision": [sp],
-                            "sum_char_recall": [sr]})
+        yield pd.DataFrame({"n_pairs": [n], "sum_tp": [tp],
+                            "sum_pred_len": [pl], "sum_gt_len": [gl]})
 
     partial = pairs.mapInPandas(run, schema=_CHARPR_OUT)
-    return partial.agg(
-        F.sum("n_pairs").alias("n_pairs"),
-        F.sum("sum_char_precision").alias("sum_char_precision"),
-        F.sum("sum_char_recall").alias("sum_char_recall"))
+    return (partial.agg(F.sum("n_pairs").alias("n_pairs"),
+                        F.sum("sum_tp").alias("sum_tp"),
+                        F.sum("sum_pred_len").alias("sum_pred_len"),
+                        F.sum("sum_gt_len").alias("sum_gt_len"))
+            .select("n_pairs", "sum_tp", "sum_pred_len", "sum_gt_len",
+                    (F.col("sum_tp").cast("double")
+                     / F.col("sum_pred_len").cast("double"))
+                    .alias("micro_precision"),
+                    (F.col("sum_tp").cast("double")
+                     / F.col("sum_gt_len").cast("double"))
+                    .alias("micro_recall")))
 
 
 @query(

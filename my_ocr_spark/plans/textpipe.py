@@ -580,10 +580,96 @@ def minhash_then_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "doc_id", "text", threshold=0.5)
 
 
-@query("embedding_ann_ivf")  # approximate → rows-only
+def _ann_ivf_oracle(n_centroids: int = 16, n_iter: int = 5,
+                    sample_ids: int = 1024, dim: int = 64,
+                    scale: int = 256) -> str:
+    """DuckDB twin of the FULL IVF pipeline: the quantized-integer Lloyd
+    loop (train_centroids_kmeans) unrolled as n_iter assign/update CTE
+    pairs — quantization floor(x*scale+0.5), exact int64 squared-L2,
+    argmin ties → lowest cell, per-dim floor-div means, empty cells keep
+    their centroid — then corpus assignment, n_probe=2 cell probing, and
+    fold-parity cosine rescoring (the proven embedding_ann_lsh pattern).
+    Every arithmetic step is exact integers until the final cosine, so
+    'approximate' is the recall property, not nondeterminism."""
+    dist = ("list_aggregate(list_transform(generate_series(1, {dim}), "
+            "i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i])), 'sum')"
+            ).format(dim=dim)
+    fold = (lambda a, b: f"list_aggregate(list_transform("
+            f"generate_series(1, {dim}), i -> CAST({a}[i] AS DOUBLE)"
+            f" * CAST({b}[i] AS DOUBLE)), 'sum')")
+    its = []
+    prev = "cent0"
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+    a{k} AS (SELECT s.vec_id, s.qv, c.cell, {dist} AS dist
+             FROM samp s CROSS JOIN {prev} c),
+    b{k} AS (SELECT vec_id, qv, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cell) AS rn FROM a{k})
+             WHERE rn = 1),
+    u{k} AS (SELECT cell, list(m ORDER BY i) AS cv FROM
+               (SELECT cell, i,
+                       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS m
+                FROM (SELECT cell,
+                             unnest(generate_series(1, {dim})) AS i,
+                             unnest(qv) AS v
+                      FROM b{k})
+                GROUP BY cell, i)
+             GROUP BY cell),
+    cent{k} AS (SELECT c.cell, coalesce(u.cv, c.cv) AS cv
+                FROM {prev} c LEFT JOIN u{k} u USING (cell))""")
+        prev = f"cent{k}"
+    iters = ",".join(its)
+    return f"""
+    WITH qz AS (SELECT vec_id, embedding,
+                  list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5)
+                         AS BIGINT)) AS qv
+                FROM embeddings),
+    samp AS (SELECT vec_id, qv FROM qz WHERE vec_id < {sample_ids}),
+    cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qv AS cv
+              FROM samp WHERE vec_id < {n_centroids}),
+    {iters},
+    cassign AS (SELECT vec_id, bucket FROM
+                  (SELECT s.vec_id, c.cell AS bucket,
+                          row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+                   FROM qz s CROSS JOIN {prev} c)
+                WHERE rn = 1),
+    qprobe AS (SELECT vec_id, bucket FROM
+                 (SELECT s.vec_id, c.cell AS bucket,
+                         row_number() OVER (PARTITION BY s.vec_id
+                             ORDER BY {dist}, c.cell) AS rn
+                  FROM (SELECT * FROM qz WHERE vec_id < 10) s
+                  CROSS JOIN {prev} c)
+               WHERE rn <= 2),
+    cn AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, a.bucket,
+                  sqrt({fold('e.embedding', 'e.embedding')}) AS nn
+           FROM embeddings e JOIN cassign a USING (vec_id)),
+    qn AS (SELECT e.vec_id AS query_id, e.embedding AS qv, p.bucket,
+                  sqrt({fold('e.embedding', 'e.embedding')}) AS qnm
+           FROM embeddings e JOIN qprobe p USING (vec_id)),
+    j AS (SELECT DISTINCT c.neighbor_id, q.query_id,
+                 {fold('c.cv', 'q.qv')} / (c.nn * q.qnm) AS cos
+          FROM cn c JOIN qn q ON c.bucket = q.bucket
+          WHERE c.neighbor_id != q.query_id),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)
+                     AS rank
+          FROM j)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos
+    FROM r WHERE rank <= 3
+    """
+
+
+@query("embedding_ann_ivf", oracle=_ann_ivf_oracle())
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic mini-kmeans codebook (no RNG), nearest-cell
-    assignment, n_probe=2 probing, exact rescoring within cells."""
+    """IVF ANN: deterministic quantized-integer mini-kmeans codebook (no
+    RNG, no float-order dependence), nearest-cell assignment, n_probe=2
+    probing, exact rescoring within cells. Oracle: the whole pipeline —
+    Lloyd loop included — re-derived in SQL (see _ann_ivf_oracle)."""
     from my_ocr_spark.operators.similarity import (
         ivf_ann_topk, train_centroids_kmeans,
     )
