@@ -220,6 +220,30 @@ def minhash_signatures_batch(shingle_lists, num_perm: int = 32,
     return out
 
 
+# Odd ~2^59 multiplier (golden-ratio bits): small enough that
+# (h < 2^64) * C stays under int128 in the SQL twin's HUGEINT emulation,
+# odd so the fold is a bijection per step.
+_BAND_FOLD_C = 0x9E3779B97F4A7C1
+
+
+def band_hashes(sigs, bands: int = 8):
+    """(n_docs, bands) int64 LSH bucket keys from (n_docs, num_perm)
+    signatures: an affine fold h = h*C + v (uint64 wraparound) over each
+    band's chunk — one vectorized numpy pass per batch, no per-doc
+    Python, and exactly reproducible in SQL as mod-2^64 HUGEINT."""
+    import numpy as np
+
+    sigs = np.asarray(sigs, dtype=np.int64)
+    n, p = sigs.shape
+    r = p // bands
+    s = sigs.astype(np.uint64).reshape(n, bands, r)
+    c = np.uint64(_BAND_FOLD_C)
+    h = s[:, :, 0].copy()
+    for i in range(1, r):
+        h = h * c + s[:, :, i]
+    return h.view(np.int64)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word shingles (weights = 1), md5-based."""
     shingles = word_shingles(text, k=2)

@@ -163,7 +163,7 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
     (md5-based, deterministic across executors); banding turns near-dup
     detection into an equi-join. rows_per_band = num_perm // bands.
     """
-    rows_per_band = num_perm // bands
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}  # executor-lifetime shingle-hash cache
@@ -174,15 +174,16 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
             # distinct shingles md5-hashed once (memoized across batches)
             sigs = ts.minhash_signatures_batch(shingle_lists, num_perm,
                                                _memo=memo)
-            out = {"doc": [], "band": [], "band_hash": []}
-            for doc, sig in zip(pdf["_id"], sigs.tolist()):
-                for bi in range(bands):
-                    chunk = tuple(sig[bi * rows_per_band:
-                                      (bi + 1) * rows_per_band])
-                    out["doc"].append(doc)
-                    out["band"].append(bi)
-                    out["band_hash"].append(ts._md5_int64(repr(chunk)))
-            yield pd.DataFrame(out)
+            # band bucket keys: one vectorized affine fold per batch
+            # (was a per-doc×band python md5 loop)
+            bh = ts.band_hashes(sigs, bands)
+            n = len(sigs)
+            yield pd.DataFrame({
+                "doc": np.repeat(np.asarray(pdf["_id"], dtype=np.int64),
+                                 bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_hash": bh.reshape(-1),
+            })
 
     src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     return src.mapInPandas(run, schema=_SIG_SCHEMA)
@@ -221,6 +222,38 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             .distinct())
 
 
+_HASHSET_SCHEMA = T.StructType([
+    T.StructField("doc", T.LongType(), False),
+    T.StructField("hs", T.ArrayType(T.LongType(), False), False),
+])
+
+
+def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str,
+                      shingle_k: int = 3) -> DataFrame:
+    """(doc, hs) — the doc's distinct shingle set as sorted md5-int64
+    hashes. The narrow verify-side representation: ~8 B per shingle,
+    set ops become JVM array intersects, and the fat text column never
+    crosses a pair join."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in batches:
+            hs = []
+            for text in pdf["_text"]:
+                out = []
+                for s in ts.word_shingles(text or "", k=shingle_k):
+                    v = memo.get(s)
+                    if v is None:
+                        v = ts._md5_int64(s)
+                        if len(memo) < 2_000_000:
+                            memo[s] = v
+                    out.append(v)
+                hs.append(sorted(set(out)))
+            yield pd.DataFrame({"doc": pdf["_id"], "hs": hs})
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    return src.mapInPandas(run, schema=_HASHSET_SCHEMA)
+
+
 def minhash_then_verify(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.7, num_perm: int = 32,
                         bands: int = 8, shingle_k: int = 3) -> DataFrame:
@@ -228,45 +261,26 @@ def minhash_then_verify(df: DataFrame, id_col: str, text_col: str,
     exact Jaccard verification of ONLY the candidate pairs.
 
     LSH bounds the candidate count (vs the corpus-quadratic exact join);
-    the verify join re-derives each candidate pair's shingle sets and
-    computes exact Jaccard, so every emitted pair is truly >= threshold
-    (no false positives; false negatives bounded by the banding curve:
-    P[miss] = (1 - J^r)^b, r=num_perm/bands)."""
+    the verify join computes exact set Jaccard from precomputed per-doc
+    shingle-HASH arrays — the fat text column never crosses the pair
+    shuffle, and the intersect is a JVM array op (no Python in the
+    verify stage at all). Every emitted pair is truly >= threshold
+    (no false positives modulo 64-bit hash collisions; false negatives
+    bounded by the banding curve: P[miss] = (1 - J^r)^b,
+    r=num_perm/bands)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
                                    shingle_k)
-
-    def shingle_set(text: str) -> set[str]:
-        return set(ts.word_shingles(text or "", k=shingle_k))
-
-    texts = df.select(F.col(id_col).alias("_tid"),
-                      F.col(text_col).alias("_ttext"))
-    t1 = texts.select(F.col("_tid").alias("doc1"),
-                      F.col("_ttext").alias("_text1"))
-    t2 = texts.select(F.col("_tid").alias("doc2"),
-                      F.col("_ttext").alias("_text2"))
-    joined = cands.join(t1, "doc1").join(t2, "doc2")
-
-    out_schema = T.StructType([
-        T.StructField("doc1", T.LongType(), False),
-        T.StructField("doc2", T.LongType(), False),
-        T.StructField("jaccard", T.DoubleType(), False),
-    ])
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            d1, d2, js = [], [], []
-            for a, b, x, y in zip(pdf["doc1"], pdf["doc2"],
-                                  pdf["_text1"], pdf["_text2"]):
-                sa, sb = shingle_set(x), shingle_set(y)
-                union = len(sa | sb)
-                j = (len(sa & sb) / union) if union else 1.0
-                if j >= threshold:
-                    d1.append(a)
-                    d2.append(b)
-                    js.append(j)
-            yield pd.DataFrame({"doc1": d1, "doc2": d2, "jaccard": js})
-
-    return joined.mapInPandas(verify, schema=out_schema)
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    h1 = hs.select(F.col("doc").alias("doc1"), F.col("hs").alias("_hs1"))
+    h2 = hs.select(F.col("doc").alias("doc2"), F.col("hs").alias("_hs2"))
+    inter = F.size(F.array_intersect("_hs1", "_hs2"))
+    union = F.size("_hs1") + F.size("_hs2") - inter
+    jac = (F.when(union == 0, F.lit(1.0))
+            .otherwise(inter.cast("double") / union))
+    return (cands.join(h1, "doc1").join(h2, "doc2")
+                 .withColumn("jaccard", jac)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc1", "doc2", "jaccard"))
 
 
 _SIMHASH_SCHEMA = T.StructType([

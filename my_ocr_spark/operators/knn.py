@@ -32,11 +32,17 @@ KNN_SCHEMA = T.StructType([
 
 
 def knn_per_group(points: DataFrame, k: int = 4,
-                  n_buckets: int = 256) -> DataFrame:
+                  n_buckets: int | None = None) -> DataFrame:
     """KNN within each ``img`` group of a (img, pid, x, y) DataFrame →
     (img, src_id, neighbor_id, dist2, rnk) with rnk in 1..k ordered by
     (squared distance, neighbor id) — the local_graph.py k-at-hop-1 set.
-    """
+
+    ``n_buckets`` defaults to session-parallelism-scaled (see
+    session.bucket_count) — a fixed constant would cap matcher
+    concurrency on a large cluster."""
+    if n_buckets is None:
+        from my_ocr_spark.session import bucket_count
+        n_buckets = bucket_count(points.sparkSession)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {c: [] for c in ("img", "src_id", "neighbor_id", "dist2",

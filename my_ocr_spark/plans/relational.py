@@ -334,7 +334,10 @@ def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (pd.concat(outs, ignore_index=True) if outs
                 else pd.DataFrame(empty))
 
-    B = 64  # bucket many small image groups per Python call
+    # bucket many small image groups per Python call; bucket count tracks
+    # session parallelism (was a hardcoded 64 — a concurrency cap at scale)
+    from my_ocr_spark.session import bucket_count
+    B = bucket_count(spark)
     gtb = gt.withColumn("_b", F.pmod("img", F.lit(B)))
     p = pred.select("pred_id", F.col("img").alias("pimg"),
                     F.col("s").alias("ps"), F.col("e").alias("pe"))

@@ -248,17 +248,24 @@ def _minhash_oracle() -> str:
     masked to 61 bits, the kernel's 32 affine permutations (constants
     embedded from _perm_params — same RandomState(42) stream) with the
     kernel's uint64-overflow semantics emulated as mod-2^64 in HUGEINT,
-    per-band tuple-repr md5 bucket hashes, the 512 bucket cap, and the
-    distinct pigeonhole pair join. 'Approximate' describes the
-    algorithm's recall, not its determinism — the pipeline is a pure
+    per-band affine-fold bucket hashes (h = h*C + v mod 2^64, C odd
+    ~2^59 so HUGEINT products never overflow int128), the 512 bucket
+    cap, and the distinct pigeonhole pair join. 'Approximate' describes
+    the algorithm's recall, not its determinism — the pipeline is a pure
     function of the input, so it oracles exactly."""
-    from my_ocr_spark.kernel.textstats import _MERSENNE61, _perm_params
+    from my_ocr_spark.kernel.textstats import (
+        _BAND_FOLD_C, _MERSENNE61, _perm_params,
+    )
 
     a, b = _perm_params(32)
     pa = "[" + ", ".join(f"CAST('{int(x)}' AS HUGEINT)" for x in a) + "]"
     pb = "[" + ", ".join(f"CAST('{int(x)}' AS HUGEINT)" for x in b) + "]"
     two64 = "CAST('18446744073709551616' AS HUGEINT)"
     two61 = "CAST('2305843009213693952' AS HUGEINT)"
+    fold = "CAST(s[band * 4 + 1] AS HUGEINT)"
+    for i in (2, 3, 4):
+        fold = (f"(({fold} * {_BAND_FOLD_C}"
+                f" + s[band * 4 + {i}]) % {two64})")
     return f"""
     WITH ab AS (SELECT {pa} AS pa, {pb} AS pb),
     d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
@@ -286,12 +293,7 @@ def _minhash_oracle() -> str:
     banded AS (SELECT doc_id, band,
             CAST(CASE WHEN bh >= CAST('9223372036854775808' AS HUGEINT)
                  THEN bh - {two64} ELSE bh END AS BIGINT) AS band_hash
-            FROM (SELECT doc_id, band,
-                    CAST('0x' || substr(md5(
-                        '(' || s[band * 4 + 1] || ', ' || s[band * 4 + 2]
-                        || ', ' || s[band * 4 + 3] || ', '
-                        || s[band * 4 + 4] || ')'), 1, 16)
-                        AS UBIGINT)::HUGEINT AS bh
+            FROM (SELECT doc_id, band, {fold} AS bh
                   FROM sig, (SELECT unnest(generate_series(0, 7)) AS band))),
     capped AS (SELECT doc_id, band, band_hash FROM banded
                QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 512)

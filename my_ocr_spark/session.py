@@ -46,3 +46,15 @@ def get_spark(app_name: str = "my_ocr_spark",
         .config("spark.sql.session.timeZone", "UTC")
     )
     return b.getOrCreate()
+
+
+def bucket_count(spark: SparkSession, per_slot: int = 4,
+                 floor: int = 64) -> int:
+    """Bucket fan-out for grouped-map operators (cogrouped matchers,
+    per-group KNN): track the session's parallelism instead of a fixed
+    constant so a 1000-executor cluster gets 1000× the concurrency a
+    hardcoded B=64 would cap it at. ``per_slot`` buckets per task slot
+    smooths group-size skew; ``floor`` keeps tiny local sessions from
+    degenerating to a handful of giant groups. Reading
+    ``defaultParallelism`` is driver-side metadata — no job is run."""
+    return max(floor, spark.sparkContext.defaultParallelism * per_slot)

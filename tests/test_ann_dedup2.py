@@ -80,3 +80,111 @@ def test_stateful_first_seen_urls(spark, tmp_path):
     got = {r["url"]: r["text"]
            for r in spark.sql("select * from dedup_stream").collect()}
     assert got == {"u1": "a", "u2": "b", "u3": "c"}
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the dedup body."""
+
+    def __init__(self, value=None, watermark_ms=0, timed_out=False):
+        self._v = value
+        self.wm = watermark_ms
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_dedup_state_is_horizon_bounded():
+    """Re-crawl stream: entries older than the watermark are evicted each
+    invocation, so state size tracks the horizon window, not history."""
+    import datetime as dt
+    import pandas as pd
+    from my_ocr_spark.streaming.stateful import _make_dedup_group
+
+    day = 86_400_000
+    fn = _make_dedup_group(horizon_ms=7 * day)
+
+    def batch(items):  # items: (url, day_index)
+        return pd.DataFrame({
+            "url": [u for u, _ in items],
+            "warc_ts": [pd.Timestamp(dt.datetime(2024, 1, 1)
+                                     + dt.timedelta(days=d))
+                        for _, d in items],
+            "text": [u + "-t" for u, _ in items],
+            "_uh": [hash(u) for u, _ in items],
+        })
+
+    st = _FakeState(watermark_ms=0)
+    out1 = pd.concat(fn(0, iter([batch([("a", 0), ("b", 0)])]), st))
+    assert sorted(out1["url"]) == ["a", "b"] and len(st.get[0]) == 2
+
+    # 100 new urls at day 30; watermark advanced past day 0 + horizon
+    wm = int(pd.Timestamp(dt.datetime(2024, 1, 24)).value // 10**6)
+    st.wm = wm
+    items = [(f"u{i}", 30) for i in range(100)]
+    out2 = pd.concat(fn(0, iter([batch(items)]), st))
+    assert len(out2) == 100
+    # day-0 urls evicted: state holds exactly the horizon-window set
+    assert len(st.get[0]) == 100
+    assert st.timeout_set > wm
+
+    # a re-crawl of an evicted url re-emits (documented horizon semantics)
+    out3 = pd.concat(fn(0, iter([batch([("a", 31)])]), st))
+    assert list(out3["url"]) == ["a"]
+
+    # timed-out group drops its state entirely
+    st2 = _FakeState(value=([1], [2]), timed_out=True)
+    out4 = pd.concat(fn(0, iter([]), st2))
+    assert st2.removed and len(out4) == 0
+
+
+def test_stateful_first_seen_urls_horizon_reemit(spark, tmp_path):
+    """End-to-end: a url idle past the horizon re-emits; a refreshed url
+    does not. Three single-file micro-batches advance the watermark."""
+    import datetime as dt
+    from my_ocr_spark.streaming.stateful import first_seen_urls
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    batches = [
+        [("u1", t0, "a0"), ("u2", t0, "b0")],
+        [("u1", t0 + dt.timedelta(days=30), "a30")],   # refresh u1
+        [("u1", t0 + dt.timedelta(days=31), "a31"),    # fresh → dropped
+         ("u2", t0 + dt.timedelta(days=31), "b31")],   # evicted → re-emit
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "text string")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (first_seen_urls(stream, n_groups=4, horizon="7 days")
+         .writeStream.format("memory").queryName("dedup_h")
+         .option("checkpointLocation", str(tmp_path / "ckpt_h"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["url"], r["text"])
+                 for r in spark.sql("select * from dedup_h").collect())
+    assert ("u1", "a0") in got and ("u2", "b0") in got
+    assert ("u2", "b31") in got          # idle past horizon → re-emitted
+    assert ("u1", "a30") not in got and ("u1", "a31") not in got

@@ -161,3 +161,22 @@ def test_reading_order_single_shuffle_streaming_map(spark, sf_dir):
     plan = _physical_plan(pdf_reading_order(spark, sf_dir))
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_grouped_map_buckets_track_parallelism(spark, sf_dir):
+    """Grouped-map fan-out must scale with the session, not a constant:
+    the cogrouped IoU matcher's and the KNN operator's bucket expressions
+    carry bucket_count(spark), which tracks defaultParallelism."""
+    from my_ocr_spark.operators.knn import knn_per_group
+    from my_ocr_spark.plans.relational import iou_theta_join_match
+    from my_ocr_spark.session import bucket_count
+
+    b = bucket_count(spark)
+    assert b >= spark.sparkContext.defaultParallelism * 4
+    plan = _physical_plan(iou_theta_join_match(spark, sf_dir))
+    assert f"pmod(img#" in plan or f", {b})" in plan, plan
+    assert f", {b})" in plan, plan
+    pts = spark.createDataFrame([(1, 1, 0, 0), (1, 2, 3, 4)],
+                                ["img", "pid", "x", "y"])
+    kplan = _physical_plan(knn_per_group(pts))
+    assert f", {b})" in kplan, kplan
