@@ -119,3 +119,105 @@ def crop_quad_pixels(img: np.ndarray, quad: np.ndarray,
     width x height grid."""
     hmat = homography_from_quad(quad, float(width), float(height))
     return warp_pixels(img, hmat, (height, width))
+
+
+# --- Thin-plate-spline rectification (RARE/STN grid generator) --------------
+#
+# Pure-numpy re-derivation of the reference's TPS GridGenerator
+# (``mmocr/models/textrecog/preprocessor/tps_preprocessor.py:152-271``):
+# fiducials C on the top/bottom edges of the rectified frame, radial
+# basis U(r) = r^2 log r, the (K+3)x(K+3) delta_C system inverted once,
+# per-instance transform T = inv_delta_C @ [C'; 0_3x2], dense grid
+# P' = P_hat @ T. A homography cannot rectify *curved* text; this can.
+
+_TPS_EPS = 1e-6
+
+
+def tps_fiducials(num_fiducial: int = 20) -> np.ndarray:
+    """Base fiducials C (K x 2) in [-1,1]^2: K/2 along the top edge,
+    K/2 along the bottom (tps_preprocessor.py:195-203)."""
+    half = num_fiducial // 2
+    x = np.linspace(-1.0, 1.0, half)
+    top = np.stack([x, -np.ones(half)], axis=1)
+    bot = np.stack([x, np.ones(half)], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def tps_inv_delta_c(c: np.ndarray) -> np.ndarray:
+    """Inverse of the TPS system matrix delta_C
+    (tps_preprocessor.py:205-228). The diagonal r=0 entries use the
+    log(1)=0 trick (fill_diagonal with 1) exactly as the reference."""
+    k = len(c)
+    d = np.linalg.norm(c[:, None, :] - c[None, :, :], axis=2)
+    np.fill_diagonal(d, 1.0)
+    hat_c = (d ** 2) * np.log(d)
+    delta = np.concatenate([
+        np.concatenate([np.ones((k, 1)), c, hat_c], axis=1),
+        np.concatenate([np.zeros((2, 3)), c.T], axis=1),
+        np.concatenate([np.zeros((1, 3)), np.ones((1, k))], axis=1),
+    ], axis=0)
+    return np.linalg.inv(delta)
+
+
+def _tps_p_hat(c: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """[1 | P | U(|P - C|)] design rows (tps_preprocessor.py:245-258);
+    note the reference's asymmetric eps: log(r + 1e-6) here vs the
+    fill-diagonal trick in delta_C — reproduced as-is."""
+    r = np.linalg.norm(p[:, None, :] - c[None, :, :], axis=2)
+    rbf = (r ** 2) * np.log(r + _TPS_EPS)
+    return np.concatenate([np.ones((len(p), 1)), p, rbf], axis=1)
+
+
+_TPS_CACHE: dict = {}
+
+
+def tps_grid(c_prime: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Sampling grid (out_h, out_w, 2) in normalized [-1,1] input
+    coordinates for rectifying an instance whose fiducials moved to
+    ``c_prime`` (K x 2) — build_P + build_P_hat + build_P_prime
+    (tps_preprocessor.py:230-271) without the torch batching.
+
+    The design matrices depend only on (K, out_w, out_h) and are cached
+    (the reference registers them as buffers for the same reason); the
+    per-instance cost is one (n x K+3) @ (K+3 x 2) matmul."""
+    c_prime = np.asarray(c_prime, dtype=np.float64)
+    key = (len(c_prime), out_w, out_h)
+    cached = _TPS_CACHE.get(key)
+    if cached is None:
+        c = tps_fiducials(len(c_prime))
+        inv_delta = tps_inv_delta_c(c)
+        gx = (np.arange(-out_w, out_w, 2) + 1.0) / out_w
+        gy = (np.arange(-out_h, out_h, 2) + 1.0) / out_h
+        p = np.stack(np.meshgrid(gx, gy), axis=2).reshape(-1, 2)
+        cached = _tps_p_hat(c, p) @ inv_delta
+        if len(_TPS_CACHE) < 64:
+            _TPS_CACHE[key] = cached
+    t = cached @ np.concatenate([c_prime, np.zeros((3, 2))], axis=0)
+    return t.reshape(out_h, out_w, 2)
+
+
+def tps_warp_pixels(img: np.ndarray, c_prime: np.ndarray,
+                    out_shape: tuple[int, int]) -> np.ndarray:
+    """Rectify ``img`` through the TPS grid — the pixel path of the
+    reference's F.grid_sample(padding_mode='border',
+    align_corners=True): normalized coords map to pixels as
+    (x+1)/2*(W-1), out-of-range samples clamp to the border, bilinear
+    interpolation. Fully vectorized."""
+    img = np.asarray(img, dtype=np.float64)
+    out_h, out_w = out_shape
+    grid = tps_grid(c_prime, out_w, out_h)
+    hh, ww = img.shape
+    # border padding == clamping the sample coordinate: once a coord
+    # leaves [0, n-1], both bilinear neighbors clamp to the same border
+    # pixel, which is exactly the clamped-coordinate sample.
+    sx = np.clip((grid[..., 0] + 1.0) / 2.0 * (ww - 1), 0.0, ww - 1.0)
+    sy = np.clip((grid[..., 1] + 1.0) / 2.0 * (hh - 1), 0.0, hh - 1.0)
+    x0 = np.minimum(np.floor(sx).astype(np.int64), ww - 2)
+    y0 = np.minimum(np.floor(sy).astype(np.int64), hh - 2)
+    x0 = np.maximum(x0, 0)
+    y0 = np.maximum(y0, 0)
+    fx = sx - x0
+    fy = sy - y0
+    top = img[y0, x0] * (1.0 - fx) + img[y0, x0 + 1] * fx
+    bot = img[y0 + 1, x0] * (1.0 - fx) + img[y0 + 1, x0 + 1] * fx
+    return top * (1.0 - fy) + bot * fy

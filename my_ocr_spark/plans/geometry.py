@@ -996,3 +996,112 @@ def sort_vertex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_SV_OUT)
+
+
+# --- TPS rectification (tps_preprocessor.py grid generator) -----------------
+
+_TPS_OUT = T.StructType([
+    T.StructField("doc_key", T.LongType(), False),
+    T.StructField("warp_sum", T.LongType(), False),
+    T.StructField("tl_px", T.DoubleType(), False),
+    T.StructField("br_px", T.DoubleType(), False),
+])
+
+# (a, b, tx, c, d, ty): fiducial displacement C' = [[a,b],[c,d]] @ C + t.
+# Each tuple makes every TPS sample land on an integer pixel of the 9x17
+# fixture image (dyadic coefficients chosen so a(2j-7) + 2b(2i-3) + 8tx
+# and c(2j-7)/2 + d(2i-3) + 4ty are integral for all grid cells), so the
+# oracle predicts the bilinear samples in closed form.
+_TPS_PARAMS = [
+    (1.0, 0.0, 0.25, 0.0, 1.0, 0.25),       # translate
+    (1.0, 0.25, 0.0625, 0.0, 1.0, 0.25),    # x-shear
+    (-1.0, 0.0, -0.25, 0.0, 1.0, 0.0),      # x-flip
+    (1.0, 0.0, 0.0, 1.0, -1.0, 0.125),      # y-flip + y-shear
+    (0.5, 0.25, 0.125, 0.0, 0.5, 0.125),    # shrink + shear
+    (0.0, 1.0, 0.0, 1.0, 0.0, 0.125),       # axis swap
+]
+
+
+def _tps_oracle() -> str:
+    """Closed-form twin of the degenerate (affine-fiducial) TPS path:
+    when C' is an exact affine image of C, the thin-plate solution has
+    zero RBF weights, so the sampling grid is the affine map itself and
+    every sample is a known integer pixel of img[y][x] =
+    (k + 3y + 7x) % 17 (border-clamped). The kernel still runs the FULL
+    solve (design matrix, inversion, RBF evaluation) — its ~1e-12
+    residue is absorbed by round() before the BIGINT cast. Curved
+    (non-affine) fiducials are covered by unit goldens in
+    tests/test_warp_pixels.py."""
+    lit = lambda vals: "[" + ", ".join(
+        f"CAST({v!r} AS DOUBLE)" for v in vals) + "]"
+    pa = lit([p[0] for p in _TPS_PARAMS])
+    pb = lit([p[1] for p in _TPS_PARAMS])
+    ptx = lit([p[2] for p in _TPS_PARAMS])
+    pc = lit([p[3] for p in _TPS_PARAMS])
+    pd_ = lit([p[4] for p in _TPS_PARAMS])
+    pty = lit([p[5] for p in _TPS_PARAMS])
+    # sxp(i, j) = a(2j-7) + 2b(2i-3) + 8tx + 8 ; syp = c(2j-7)/2
+    #   + d(2i-3) + 4ty + 4  (the affine grid in pixel coordinates)
+    sxp = "(a * (2*j - 7) + 2 * b * (2*i - 3) + 8 * tx + 8)"
+    syp = "(c * (2*j - 7) / 2 + d * (2*i - 3) + 4 * ty + 4)"
+    cx = f"CAST(round(least(greatest({sxp}, 0), 16), 0) AS BIGINT)"
+    cy = f"CAST(round(least(greatest({syp}, 0), 8), 0) AS BIGINT)"
+    px = f"(doc_key + 3 * {cy} + 7 * {cx}) % 17"
+    return f"""
+    WITH params AS (SELECT {pa} AS la, {pb} AS lb, {ptx} AS ltx,
+                           {pc} AS lc, {pd_} AS ld, {pty} AS lty),
+    k AS (SELECT o_orderkey AS doc_key,
+                 la[CAST(o_orderkey % 6 AS INT) + 1] AS a,
+                 lb[CAST(o_orderkey % 6 AS INT) + 1] AS b,
+                 ltx[CAST(o_orderkey % 6 AS INT) + 1] AS tx,
+                 lc[CAST(o_orderkey % 6 AS INT) + 1] AS c,
+                 ld[CAST(o_orderkey % 6 AS INT) + 1] AS d,
+                 lty[CAST(o_orderkey % 6 AS INT) + 1] AS ty
+          FROM orders, params),
+    cells AS (SELECT doc_key, a, b, tx, c, d, ty,
+                     unnest(generate_series(0, 3)) AS i
+              FROM k),
+    cells2 AS (SELECT *, unnest(generate_series(0, 7)) AS j FROM cells)
+    SELECT doc_key,
+           CAST(sum({px}) AS BIGINT) AS warp_sum,
+           CAST(min(CASE WHEN i = 0 AND j = 0 THEN {px} END)
+                AS DOUBLE) AS tl_px,
+           CAST(min(CASE WHEN i = 3 AND j = 7 THEN {px} END)
+                AS DOUBLE) AS br_px
+    FROM cells2 GROUP BY doc_key
+    """
+
+
+@query("tps_warp_checksum", oracle=_tps_oracle())
+def tps_warp_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True thin-plate-spline rectification (tps_preprocessor.py:25-271),
+    pixel path: per row, synthesize a 9x17 image
+    img[y][x] = (key + 3y + 7x) % 17, move the 20 base fiducials by an
+    affine map (key-selected from _TPS_PARAMS), and rectify onto a 4x8
+    grid through the FULL TPS pipeline — RBF system solve, dense-grid
+    spline evaluation, border-clamped bilinear sampling
+    (kernel/warp.tps_grid/tps_warp_pixels). Emits the crop checksum and
+    corner probes; the oracle predicts them in closed form because an
+    affine fiducial layout collapses the spline to its affine term."""
+    from my_ocr_spark.kernel.warp import tps_fiducials, tps_warp_pixels
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    base = tps_fiducials(20)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ii, jj = np.mgrid[0:9, 0:17]
+        for pdf in batches:
+            out = {"doc_key": [], "warp_sum": [], "tl_px": [], "br_px": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                a, b, tx, c, d, ty = _TPS_PARAMS[k % 6]
+                cp = base @ np.array([[a, b], [c, d]]).T + np.array([tx, ty])
+                img = ((k + 3 * ii + 7 * jj) % 17).astype(np.float64)
+                w = tps_warp_pixels(img, cp, (4, 8))
+                out["doc_key"].append(k)
+                out["warp_sum"].append(int(round(float(w.sum()))))
+                out["tl_px"].append(round(float(w[0, 0]), 6))
+                out["br_px"].append(round(float(w[3, 7]), 6))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_TPS_OUT)

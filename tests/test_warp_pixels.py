@@ -67,3 +67,64 @@ def test_scale_2x_upsample():
     out = warp_pixels(img, h, (3, 3))
     want = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6]], dtype=float)
     assert np.allclose(out, want)
+
+
+# --- TPS rectification ------------------------------------------------------
+
+def test_tps_interpolation_property():
+    """The spline evaluated AT the base fiducials reproduces the
+    displaced fiducials (up to the reference's log(r+1e-6) eps)."""
+    import numpy as np
+    from my_ocr_spark.kernel.warp import (
+        _tps_p_hat, tps_fiducials, tps_inv_delta_c,
+    )
+    c = tps_fiducials(20)
+    rng = np.random.RandomState(3)
+    cp = c + 0.08 * rng.randn(20, 2)
+    t = tps_inv_delta_c(c) @ np.vstack([cp, np.zeros((3, 2))])
+    back = _tps_p_hat(c, c) @ t
+    assert np.abs(back - cp).max() < 1e-5
+
+
+def test_tps_affine_reduces_to_closed_form():
+    import numpy as np
+    from my_ocr_spark.kernel.warp import tps_fiducials, tps_grid
+    c = tps_fiducials(20)
+    a = np.array([[0.7, 0.2], [-0.1, 0.6]])
+    tv = np.array([0.05, -0.1])
+    g = tps_grid(c @ a.T + tv, 10, 6)
+    gx = (np.arange(-10, 10, 2) + 1.0) / 10
+    gy = (np.arange(-6, 6, 2) + 1.0) / 6
+    p = np.stack(np.meshgrid(gx, gy), axis=2)
+    assert np.abs(g - (p @ a.T + tv)).max() < 1e-9
+
+
+def test_tps_reduces_text_line_curvature():
+    """What a homography cannot do at all: fiducials along a curved band
+    bend the sampling grid so the band's per-column peak row spread
+    shrinks. (Exact straightening would need interior-compensated
+    fiducials — in the reference those come from the learned
+    LocalizationNetwork; the grid math is identical.)"""
+    import numpy as np
+    from my_ocr_spark.kernel.warp import tps_warp_pixels
+
+    h, w = 32, 100
+    xs = np.arange(w)
+    center = 16 + 4 * np.sin(2 * np.pi * xs / w)
+    ys = np.arange(h)[:, None]
+    img = np.exp(-0.5 * ((ys - center[None, :]) / 1.5) ** 2)
+
+    fx = np.linspace(0, w - 1, 10)
+    fc = 16 + 4 * np.sin(2 * np.pi * fx / w)
+    def norm(x, y):
+        return np.stack([2 * x / (w - 1) - 1, 2 * y / (h - 1) - 1], axis=1)
+    cp = np.vstack([norm(fx, fc - 12), norm(fx, fc + 12)])
+    out = tps_warp_pixels(img, cp, (h, w))
+
+    peak_before = img.argmax(axis=0)
+    peak_after = out[:, 3:-3].argmax(axis=0)
+    spread_b = peak_before.max() - peak_before.min()
+    spread_a = peak_after.max() - peak_after.min()
+    assert spread_b >= 8                       # genuinely curved input
+    assert spread_a <= spread_b * 0.7          # measurably straightened
+    assert out.max(axis=0).min() > 0.8         # band retained everywhere
