@@ -453,3 +453,76 @@ def resize_metadata_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("doc_key"), width.alias("width"), height.alias("height"),
         scale.alias("scale_factor"),
         F.round(height * scale, 0).cast("bigint").alias("new_height"))
+
+
+# --- ResizeOCR height-normalize / pad / valid_ratio --------------------------
+
+# integer round-half-even of new_w to a multiple of 16 (the reference's
+# `round(new_width / width_divisor) * width_divisor` uses Python round =
+# banker's; r == 8 rounds toward the EVEN multiple). Pure-int CASE —
+# identical on both engines, no float round() divergence.
+_R16_SQL = """
+    CASE WHEN nw % 16 = 0 THEN nw
+         WHEN nw % 16 < 8 THEN (nw // 16) * 16
+         WHEN nw % 16 > 8 THEN (nw // 16) * 16 + 16
+         WHEN (nw // 16) % 2 = 0 THEN (nw // 16) * 16
+         ELSE (nw // 16) * 16 + 16 END
+"""
+
+
+@query(
+    "resize_ocr_pad",
+    oracle=f"""
+    WITH raw AS (
+        SELECT l_orderkey * 10 + l_linenumber AS img_id,
+               16 + l_partkey % 48 AS ori_h,
+               20 + l_orderkey % 300 AS ori_w
+        FROM lineitem
+    ),
+    a AS (
+        SELECT img_id, ori_h, ori_w,
+               CAST(ceil(CAST(32 AS DOUBLE) / ori_h * ori_w)
+                    AS BIGINT) AS nw
+        FROM raw
+    ),
+    b AS (SELECT img_id, ori_h, ori_w,
+                 greatest(32, {_R16_SQL}) AS nw2
+          FROM a)
+    SELECT img_id,
+           CAST(ori_h AS INTEGER) AS ori_h,
+           CAST(ori_w AS INTEGER) AS ori_w,
+           CAST(32 AS INTEGER) AS resize_h,
+           CAST(least(160, nw2) AS INTEGER) AS resize_w,
+           CAST(160 AS INTEGER) AS pad_w,
+           least(CAST(1.0 AS DOUBLE),
+                 CAST(nw2 AS DOUBLE) / 160) AS valid_ratio
+    FROM b
+    """,
+)
+def resize_ocr_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResizeOCR keep_aspect_ratio path (ocr_transforms.py:87-111):
+    height-normalize to 32, width = ceil((32/h)*w) snapped to a multiple
+    of 16 with PYTHON-round (banker's — reproduced as an exact integer
+    CASE), clamped to [min_width=32, max_width=160], padded to max_width,
+    valid_ratio = min(1, new_w/max_w). The whole transform is metadata
+    column math — at scale it never touches pixel bytes (the resample
+    itself is the warp kernel's grid path)."""
+    li = t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("img_id"),
+        (16 + F.col("l_partkey") % 48).alias("ori_h"),
+        (20 + F.col("l_orderkey") % 300).alias("ori_w"))
+    a = raw.withColumn(
+        "nw", F.ceil(F.lit(32).cast("double") / F.col("ori_h")
+                     * F.col("ori_w")).cast("long"))
+    r16 = F.expr(_R16_SQL.replace("//", " div "))
+    b = a.withColumn("nw2", F.greatest(F.lit(32), r16))
+    return b.select(
+        "img_id",
+        F.col("ori_h").cast("int").alias("ori_h"),
+        F.col("ori_w").cast("int").alias("ori_w"),
+        F.lit(32).cast("int").alias("resize_h"),
+        F.least(F.lit(160), F.col("nw2")).cast("int").alias("resize_w"),
+        F.lit(160).cast("int").alias("pad_w"),
+        F.least(F.lit(1.0).cast("double"),
+                F.col("nw2").cast("double") / 160).alias("valid_ratio"))

@@ -45,6 +45,11 @@ def get_spark(app_name: str = "my_ocr_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # e.g. "-XX:ParallelGCThreads=4" — the scaling bench pins GC threads
+    # so the saturated full-width level doesn't pay GC-vs-task contention
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     return b.getOrCreate()
 
 

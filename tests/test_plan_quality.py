@@ -180,3 +180,18 @@ def test_grouped_map_buckets_track_parallelism(spark, sf_dir):
                                 ["img", "pid", "x", "y"])
     kplan = _physical_plan(knn_per_group(pts))
     assert f", {b})" in kplan, kplan
+
+
+def test_minhash_verify_stage_is_jvm_side(spark, sf_dir):
+    """minhash_then_verify: the pair-verify stage must be a JVM
+    array_intersect over precomputed hash arrays — no Python UDF and no
+    full-text column across the candidate join."""
+    from my_ocr_spark.operators.dedup import minhash_then_verify
+    from my_ocr_spark.plans.registry import t as _t
+    df = _t(spark, sf_dir, "documents")
+    plan = _physical_plan(minhash_then_verify(df, "doc_id", "text"))
+    assert "array_intersect" in plan, plan
+    # Python stages only FEED the joins (band rows / hash sets); the
+    # verify itself is codegen — no grouped-map or row-at-a-time UDF
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
