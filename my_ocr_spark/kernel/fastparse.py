@@ -149,12 +149,21 @@ def _tolerant_lt(parser, tol: _Tolerant, text: str, pos: int) -> int:
 
 def feed_events(parser, text: str) -> None:
     """Lex ``text`` and drive parser.handle_starttag/endtag/data —
-    the regex twin of HTMLParser.feed()+close()."""
+    the regex twin of HTMLParser.feed()+close().
+
+    Token kind dispatches on ``m.lastgroup`` (the LAST named group that
+    participated): 'text'/'endtag'/... name themselves; a start tag
+    reads 'selfclose' because that group (``/?``) always participates
+    after 'starttag'. One attribute lookup per token instead of probing
+    up to six groups (~8% of kernel wall, profiled)."""
     pos = 0
     n = len(text)
     tol = None  # stdlib shim, built lazily on first gnarly construct
+    token_match = _TOKEN_RE.match
+    handle_data = parser.handle_data
+    entity_search = _HAS_ENTITY.search
     while pos < n:
-        m = _TOKEN_RE.match(text, pos)
+        m = token_match(text, pos)
         if m is None:
             # '<'-construct the strict fast path can't prove well-formed
             if tol is None:
@@ -164,31 +173,26 @@ def feed_events(parser, text: str) -> None:
             continue
         start = pos
         pos = m.end()
-        data = m.group("text")
-        if data is not None:
-            if _HAS_ENTITY.search(data):
+        kind = m.lastgroup
+        if kind == "text":
+            data = m.group(1)
+            if entity_search(data):
                 data = unescape(data)
-            parser.handle_data(data)
-            continue
-        tag = m.group("starttag")
-        if tag is not None:
-            tag = tag.lower()
+            handle_data(data)
+        elif kind == "selfclose":  # a start tag (see docstring)
+            tag = m.group("starttag").lower()
             parser.handle_starttag(tag, ())
             if m.group("selfclose"):
                 parser.handle_endtag(tag)
             elif tag in _RAWTEXT:
                 pos = _consume_rawtext(parser, text, pos, tag)
-            continue
-        tag = m.group("endtag")
-        if tag is not None:
-            parser.handle_endtag(tag.lower())
-            continue
-        if m.group("comment") is not None:
+        elif kind == "endtag":
+            parser.handle_endtag(m.group("endtag").lower())
+        elif kind == "comment":
             cm = _COMMENT_CLOSE.search(text, pos)
             # unterminated → swallow to EOF (documented divergence #1)
             pos = cm.end() if cm else n
-            continue
-        if m.group("decl") is not None:
+        elif kind == "decl":
             # html.parser: doctype scans for '>' from i+9, bogus comment
             # from i+2; unterminated → swallow (divergence #2 class)
             if text[start:start + 9].lower() == "<!doctype":
@@ -196,7 +200,6 @@ def feed_events(parser, text: str) -> None:
             else:
                 g = text.find(">", start + 2)
             pos = g + 1 if g >= 0 else n
-            continue
-        if m.group("lt") is not None:
-            parser.handle_data("<")
+        elif kind == "lt":
+            handle_data("<")
         # cdata / pi tokens: skipped entirely

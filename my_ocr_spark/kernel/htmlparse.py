@@ -177,12 +177,17 @@ class _BlockParser(HTMLParser):
                 if t == tag:
                     break
         if tag in _BLOCK_TAGS:
+            stack = self._stack
+            if stack and stack[-1].tag == tag:
+                # well-nested fast path (the overwhelmingly common case)
+                self._flush(stack.pop())
+                return
             # close the innermost matching open block, flushing it and any
             # unclosed deeper blocks (malformed-markup tolerance).
-            for i in range(len(self._stack) - 1, -1, -1):
-                if self._stack[i].tag == tag:
-                    while len(self._stack) > i:
-                        self._flush(self._stack.pop())
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i].tag == tag:
+                    while len(stack) > i:
+                        self._flush(stack.pop())
                     break
 
     def handle_data(self, data):
@@ -197,7 +202,7 @@ class _BlockParser(HTMLParser):
                                           depth=len(self._tagstack),
                                           in_nav=self._nav_depth > 0))
         ob = self._stack[-1]
-        if ob.first_pos < 0 and data.strip():
+        if ob.first_pos < 0 and not data.isspace():
             ob.first_pos = self._pos
         self._pos += 1
         ob.parts.append(data)
