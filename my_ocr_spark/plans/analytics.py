@@ -616,3 +616,72 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.md5(F.concat(F.col("payload_text"), F.lit(":"),
                                     F.col("frame_idx").cast("string")))
                       .alias("frame_tag")))
+
+
+@query(
+    "audio_window_features",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(string_split(text, ''), c -> ascii(c))
+                   AS codes
+        FROM documents WHERE length(text) >= 32
+    ),
+    w AS (
+        SELECT doc_id, CAST(n // 32 AS INTEGER) AS n_windows,
+               unnest(generate_series(0, CAST(n // 32 AS INTEGER) - 1))
+                   AS win_idx, codes
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id, n_windows, win_idx,
+               codes[win_idx * 32 + 1 : win_idx * 32 + 32] AS win
+        FROM w
+    )
+    SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx, n_windows,
+           CAST(list_aggregate(list_transform(win, x -> x - 96), 'sum')
+                AS BIGINT) AS dc_offset,
+           CAST(list_aggregate(list_transform(win,
+                    x -> (x - 96) * (x - 96)), 'sum') AS BIGINT)
+               AS energy,
+           CAST(list_aggregate(list_transform(generate_series(2, 32),
+                    i -> CASE WHEN (win[i - 1] > 96) != (win[i] > 96)
+                         THEN 1 ELSE 0 END), 'sum') AS INTEGER)
+               AS zero_crossings
+    FROM f
+    """,
+)
+def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-branch feature extraction plumbing: treat each payload as a
+    PCM-like sample stream (deterministic stand-in: the text's char
+    codes — a real decoder swaps in int16 samples, the plan is
+    unchanged), tumble it into 32-sample windows JVM-side (sequence
+    explode + array slice, no Python anywhere), and emit per-window
+    DC offset / energy / zero-crossing counts as exact integers. The
+    multimodal analog of windowed_event_counts: feature extraction is a
+    pure column program over array slices, so Catalyst pipelines it with
+    whatever runs downstream (dedup on energy fingerprints, ANN over
+    pooled features). Ragged tails (< 32 samples) are dropped, as a
+    frame-aligned audio featurizer would."""
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.length("text") >= 32)
+         .select("doc_id",
+                 F.expr("transform(split(text, ''), c -> ascii(c))")
+                  .alias("codes"),
+                 (F.length("text") / 32).cast("int").alias("n_windows")))
+    w = d.withColumn(
+        "win_idx", F.explode(F.sequence(F.lit(0), F.col("n_windows") - 1)))
+    f = w.withColumn("win", F.expr("slice(codes, win_idx * 32 + 1, 32)"))
+    return f.select(
+        "doc_id",
+        F.col("win_idx").cast("int").alias("win_idx"),
+        "n_windows",
+        F.expr("aggregate(transform(win, x -> x - 96),"
+               " 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("dc_offset"),
+        F.expr("aggregate(transform(win, x -> (x - 96) * (x - 96)),"
+               " 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("energy"),
+        F.expr("CAST(aggregate(transform(sequence(2, 32), i ->"
+               " CASE WHEN (element_at(win, i - 1) > 96)"
+               " != (element_at(win, i) > 96)"
+               " THEN 1 ELSE 0 END), 0, (a, x) -> a + x) AS INT)")
+         .alias("zero_crossings"))

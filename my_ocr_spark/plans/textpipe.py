@@ -849,3 +849,65 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("grp", F.expr(stack)) \
                .select("grp", F.col("dim").cast("int").alias("dim"),
                        "centroid")
+
+
+@query(
+    "url_host_rollup",
+    oracle="""
+    WITH pages AS (
+        SELECT 'https://' || source || '.example/p/'
+                   || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN '?utm_source=feed&ref=' || lang
+                           ELSE '' END AS url,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    parsed AS (
+        SELECT regexp_extract(url, '^([a-z]+)://([^/?#]+)', 1) AS scheme,
+               regexp_extract(url, '^([a-z]+)://([^/?#]+)', 2) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_query,
+               n_chars
+        FROM pages
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(has_query) AS BIGINT) AS n_tracked,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+    FROM parsed
+    WHERE scheme = 'https'
+    GROUP BY host
+    """,
+)
+def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-host rollup — the crawl-pipeline
+    staple that feeds host-level skew salting and per-host quality
+    gates: regex-parse scheme/host/path out of the page url (tracking
+    query strings detected, stripped from the canonical path), then one
+    groupBy(host) with exact-integer aggregates. At corpus scale this is
+    the shuffle whose key histogram drives SALT selection (docs/SCALE.md
+    §3); host parsing itself is pure JVM regexp."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="), F.col("lang")))
+         .otherwise(F.lit("")))
+    pages = d.select(url.alias("url"), F.length("text").alias("n_chars"))
+    parsed = pages.select(
+        F.regexp_extract("url", r"^([a-z]+)://([^/?#]+)", 1).alias("scheme"),
+        F.regexp_extract("url", r"^([a-z]+)://([^/?#]+)", 2).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+         .alias("path"),
+        F.when(F.col("url").contains("?"), 1).otherwise(0)
+         .alias("has_query"),
+        "n_chars")
+    return (parsed.filter(F.col("scheme") == "https")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("has_query").alias("n_tracked"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.countDistinct("path").alias("n_paths")))
