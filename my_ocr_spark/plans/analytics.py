@@ -1,6 +1,6 @@
-"""Event-time analytics, broadcast-join classics, and the non-SQL surface
-(PDF layout branch, full extraction, multimodal decode stub) as rows-only
-queries.
+"""Event-time analytics, broadcast-join classics, and the formerly
+non-SQL surface (PDF layout branch, full extraction, multimodal
+decode stub) — every query here now carries an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -104,7 +104,7 @@ def top_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_items")))
 
 
-# --- non-SQL surface (rows-only checks) -------------------------------------
+# --- PDF layout branch (oracled via unrolled XY-cut, see _pdf_oracle) -------
 
 _PDF_OUT = T.StructType([
     T.StructField("page_key", T.LongType(), False),
