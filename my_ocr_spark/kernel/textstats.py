@@ -236,7 +236,11 @@ def band_hashes(sigs, bands: int = 8):
     sigs = np.asarray(sigs, dtype=np.int64)
     n, p = sigs.shape
     r = p // bands
-    s = sigs.astype(np.uint64).reshape(n, bands, r)
+    if r < 1:
+        raise ValueError(f"bands={bands} exceeds num_perm={p}")
+    # tolerate p % bands != 0 like the md5 path did: trailing
+    # permutations beyond bands*r are dropped
+    s = sigs[:, :bands * r].astype(np.uint64).reshape(n, bands, r)
     c = np.uint64(_BAND_FOLD_C)
     h = s[:, :, 0].copy()
     for i in range(1, r):

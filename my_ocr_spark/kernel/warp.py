@@ -212,12 +212,14 @@ def tps_warp_pixels(img: np.ndarray, c_prime: np.ndarray,
     # pixel, which is exactly the clamped-coordinate sample.
     sx = np.clip((grid[..., 0] + 1.0) / 2.0 * (ww - 1), 0.0, ww - 1.0)
     sy = np.clip((grid[..., 1] + 1.0) / 2.0 * (hh - 1), 0.0, hh - 1.0)
-    x0 = np.minimum(np.floor(sx).astype(np.int64), ww - 2)
-    y0 = np.minimum(np.floor(sy).astype(np.int64), hh - 2)
-    x0 = np.maximum(x0, 0)
-    y0 = np.maximum(y0, 0)
+    x0 = np.maximum(np.minimum(np.floor(sx).astype(np.int64), ww - 2), 0)
+    y0 = np.maximum(np.minimum(np.floor(sy).astype(np.int64), hh - 2), 0)
     fx = sx - x0
     fy = sy - y0
-    top = img[y0, x0] * (1.0 - fx) + img[y0, x0 + 1] * fx
-    bot = img[y0 + 1, x0] * (1.0 - fx) + img[y0 + 1, x0 + 1] * fx
+    # degenerate 1-px-wide/tall images: the +1 neighbor clamps onto the
+    # same (only) pixel instead of indexing out of bounds
+    x1 = np.minimum(x0 + 1, ww - 1)
+    y1 = np.minimum(y0 + 1, hh - 1)
+    top = img[y0, x0] * (1.0 - fx) + img[y0, x1] * fx
+    bot = img[y1, x0] * (1.0 - fx) + img[y1, x1] * fx
     return top * (1.0 - fy) + bot * fy

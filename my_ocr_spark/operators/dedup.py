@@ -270,7 +270,20 @@ def minhash_then_verify(df: DataFrame, id_col: str, text_col: str,
     r=num_perm/bands)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
                                    shingle_k)
-    hs = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    # lazily cache the candidate pairs (2 longs/row — cheap): they feed
+    # the output join AND both hash-set semi-joins below; without the
+    # cache the whole LSH subtree (a full-corpus signature pass) would
+    # execute once per consumer (no ReuseExchange across pruned copies)
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (cands.select(F.col("doc1").alias("_cid"))
+                .union(cands.select(F.col("doc2").alias("_cid")))
+                .distinct())
+    # hash sets only for docs that appear in a candidate pair — in the
+    # normal LSH regime candidates << corpus, so the shingle+md5 pass
+    # here is tiny (the old version hashed every corpus doc, twice)
+    docs = df.join(F.broadcast(cand_ids),
+                   df[id_col] == F.col("_cid"), "left_semi")
+    hs = shingle_hash_sets(docs, id_col, text_col, shingle_k)
     h1 = hs.select(F.col("doc").alias("doc1"), F.col("hs").alias("_hs1"))
     h2 = hs.select(F.col("doc").alias("doc2"), F.col("hs").alias("_hs2"))
     inter = F.size(F.array_intersect("_hs1", "_hs2"))

@@ -92,7 +92,7 @@ def _make_dedup_group(horizon_ms: int):
     return _dedup_group
 
 
-def first_seen_urls(stream: DataFrame, n_groups: int | None = None,
+def first_seen_urls(stream: DataFrame, n_groups: int = 256,
                     horizon: str = "7 days") -> DataFrame:
     """Streaming first-seen-url filter with a bounded state horizon.
 
@@ -101,12 +101,17 @@ def first_seen_urls(stream: DataFrame, n_groups: int | None = None,
     state is its seen-url-hash map, evicted past the event-time
     ``horizon`` (also the stream's watermark delay). 64-bit hash
     collisions silently drop a distinct url — acceptable for dedup at
-    crawl scale (~5e-20 per pair). Batch mode keeps the exact semantics
-    via latest_snapshot/first-seen window; this operator exists for the
+    crawl scale (~5e-20 per pair).
+
+    ``n_groups`` is part of the CHECKPOINTED state's key: it must stay
+    constant for the lifetime of a checkpoint (a restart with a
+    different value remaps every url to a new group and orphans the old
+    state), so it is a fixed explicit parameter — deliberately NOT
+    derived from session parallelism like the stateless batch bucketing
+    is. Size it once for the target cluster (it bounds stateful task
+    parallelism). Batch mode keeps the exact semantics via
+    latest_snapshot/first-seen window; this operator exists for the
     incremental path where a global window is impossible."""
-    if n_groups is None:
-        from my_ocr_spark.session import bucket_count
-        n_groups = bucket_count(stream.sparkSession)
     horizon_ms = int(pd.Timedelta(horizon).total_seconds() * 1000)
     keyed = (stream.withWatermark("warc_ts", horizon)
              .withColumn("_uh", F.xxhash64("url"))

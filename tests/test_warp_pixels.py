@@ -128,3 +128,16 @@ def test_tps_reduces_text_line_curvature():
     assert spread_b >= 8                       # genuinely curved input
     assert spread_a <= spread_b * 0.7          # measurably straightened
     assert out.max(axis=0).min() > 0.8         # band retained everywhere
+
+
+def test_tps_warp_degenerate_1px_dims():
+    """1-px-wide/tall images must border-clamp, not IndexError."""
+    import numpy as np
+    from my_ocr_spark.kernel.warp import tps_fiducials, tps_warp_pixels
+    cp = tps_fiducials(20)  # identity layout
+    col = np.arange(5.0).reshape(5, 1)
+    out = tps_warp_pixels(col, cp, (4, 3))
+    assert out.shape == (4, 3) and np.isfinite(out).all()
+    row = np.arange(7.0).reshape(1, 7)
+    out2 = tps_warp_pixels(row, cp, (2, 4))
+    assert out2.shape == (2, 4) and np.isfinite(out2).all()
