@@ -911,3 +911,143 @@ def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("has_query").alias("n_tracked"),
                  F.sum("n_chars").alias("sum_chars"),
                  F.countDistinct("path").alias("n_paths")))
+
+
+@query(
+    "duplicate_span_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+        FROM documents
+        WHERE len(string_split({_NORM_SQL}, ' ')) >= 5
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(words) - 4)) AS pos,
+               words
+        FROM d
+    ),
+    h AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(words[pos:pos + 4], ' ')) AS gh
+        FROM g
+    ),
+    post AS (
+        SELECT gh, count(*) AS df,
+               list({{'doc_id': doc_id, 'pos': pos}} ORDER BY doc_id, pos) AS docs
+        FROM h GROUP BY gh HAVING count(*) BETWEEN 2 AND 16
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc1, a.pos AS p1,
+               b.doc_id AS doc2, b.pos AS p2
+        FROM (SELECT unnest(docs, recursive := true), gh FROM post) a
+        JOIN (SELECT unnest(docs, recursive := true), gh FROM post) b
+          ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc1, doc2, p1, p2,
+               p1 - row_number() OVER (PARTITION BY doc1, doc2, p1 - p2
+                                       ORDER BY p1) AS grp
+        FROM pairs
+    ),
+    spans AS (
+        SELECT doc1, doc2, min(p1) AS start1, min(p2) AS start2,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) + 4 AS BIGINT) AS span_words
+        FROM isl GROUP BY doc1, doc2, p1 - p2, grp
+    )
+    SELECT * FROM spans WHERE n_grams >= 2
+    """,
+)
+def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans across documents (the
+    suffix-array-style training-data dedup of Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better', done as a postings
+    join): 5-gram hashes with positions → inverted index with the
+    enforced df cap (same scale guard as ngram_jaccard) → cross-doc
+    match pairs → maximal shared spans via the diagonal gaps-and-islands
+    recurrence (matches with constant p1-p2 and consecutive p1 merge —
+    the same pattern that oracles SequenceMatcher runs). Emits spans of
+    ≥2 overlapping 5-grams (≥6 shared words). Everything is one shuffle
+    on the gram hash plus one on the (doc1, doc2) pair key; positions
+    are exact integers on both engines."""
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.split(normalized_col("text"), " ").alias("words"))
+         .filter(F.size("words") >= 5))
+    g = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(1, size(words) - 4),"
+            " i -> md5(array_join(slice(words, i, 5), ' ')))"))
+         .alias("pos0", "gh"))
+    h = g.select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    post = (h.groupBy("gh")
+             .agg(F.count("*").alias("df"),
+                  F.sort_array(F.collect_list(F.struct("doc_id", "pos")))
+                   .alias("docs"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= 16)))
+    a = post.select("gh", F.explode("docs").alias("a"))
+    pairs = (a.alias("x").join(a.alias("y"), "gh")
+             .filter(F.col("x.a.doc_id") < F.col("y.a.doc_id"))
+             .select(F.col("x.a.doc_id").alias("doc1"),
+                     F.col("x.a.pos").alias("p1"),
+                     F.col("y.a.doc_id").alias("doc2"),
+                     F.col("y.a.pos").alias("p2")))
+    w = Window.partitionBy("doc1", "doc2",
+                           F.col("p1") - F.col("p2")).orderBy("p1")
+    isl = pairs.withColumn("grp", F.col("p1") - F.row_number().over(w))
+    return (isl.groupBy("doc1", "doc2", (F.col("p1") - F.col("p2")), "grp")
+            .agg(F.min("p1").alias("start1"), F.min("p2").alias("start2"),
+                 F.count("*").alias("n_grams"),
+                 (F.count("*") + 4).alias("span_words"))
+            .filter(F.col("n_grams") >= 2)
+            .select("doc1", "doc2", "start1", "start2",
+                    "n_grams", "span_words"))
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    WITH v AS (
+        SELECT source, length(text) AS n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY length(text), doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN rn >= ceil(0.5 * n) THEN n_chars END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN rn >= ceil(0.9 * n) THEN n_chars END)
+                AS BIGINT) AS p90,
+           CAST(min(CASE WHEN rn >= ceil(0.99 * n) THEN n_chars END)
+                AS BIGINT) AS p99
+    FROM v GROUP BY source
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles of document length (corpus QA /
+    partition-sizing stats): rank window + conditional min — the
+    deterministic alternative to approx_percentile, whose sketch
+    internals (and therefore exact outputs) differ across engines.
+    One shuffle on the group key; values are exact integers. At corpus
+    scale swap in approx_percentile for the same shape at O(1) memory —
+    this query pins the exact semantics the sketch approximates."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.length("text"), "doc_id")
+    wn = Window.partitionBy("source")
+    v = d.select(
+        "source", F.length("text").alias("n_chars"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+
+    def pick(p: float):
+        return F.min(F.when(F.col("rn") >= F.ceil(p * F.col("n")),
+                            F.col("n_chars"))).cast("bigint")
+
+    return (v.groupBy("source")
+            .agg(F.max("n").cast("bigint").alias("n_docs"),
+                 pick(0.5).alias("p50"),
+                 pick(0.9).alias("p90"),
+                 pick(0.99).alias("p99")))
