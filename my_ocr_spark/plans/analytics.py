@@ -8,7 +8,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 from my_ocr_spark.kernel.layout import page_reading_order_text
@@ -685,3 +685,110 @@ def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                " != (element_at(win, i) > 96)"
                " THEN 1 ELSE 0 END), 0, (a, x) -> a + x) AS INT)")
          .alias("zero_crossings"))
+
+
+_CURATION_STOP = "('the', 'and', 'is', 'of', 'to', 'in', 'a', 'for', 'on', 'with')"
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+               FROM documents),
+    u AS (SELECT doc_id, source, unnest(words) AS word,
+                 unnest(generate_series(1, len(words))) AS gs
+          FROM w),
+    chunks AS (
+        SELECT doc_id, source,
+               CAST(floor((gs - 1) / 10) AS INT) AS chunk_id,
+               string_agg(word, ' ' ORDER BY gs) AS chunk
+        FROM u GROUP BY doc_id, source, CAST(floor((gs - 1) / 10) AS INT)
+    ),
+    extracted AS (
+        SELECT 'https://' || source || '.example/p/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+               coalesce(string_agg(chunk, chr(10) || chr(10)
+                   ORDER BY chunk_id)
+                   FILTER (WHERE length(chunk) >= 25
+                           OR len(string_split(chunk, ' ')) >= 4), '')
+                   AS text
+        FROM chunks GROUP BY doc_id, source
+    ),
+    feat AS (
+        SELECT url, md5(text) AS text_md5,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9一-龥 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN {_CURATION_STOP})) AS BIGINT) AS n_stop,
+               length(regexp_replace(text, '[^一-龥]', '', 'g')) AS cjk,
+               length(text) AS n
+        FROM extracted
+    ),
+    dd AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY fp) AS dup_n,
+               (url = min(url) OVER (PARTITION BY fp)) AS is_canonical,
+               CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+               CASE WHEN n > 0 AND CAST(cjk AS DOUBLE) / n
+                         > CAST(0.05 AS DOUBLE)
+                    THEN 'zh' ELSE 'latin' END AS script
+        FROM feat
+    )
+    SELECT url, text_md5, script,
+           CAST(dup_n AS BIGINT) AS dup_n, is_canonical,
+           n_words, stop_ratio,
+           CASE WHEN n_words >= 30
+                     AND stop_ratio BETWEEN CAST(0.02 AS DOUBLE)
+                                        AND CAST(0.7 AS DOUBLE)
+                THEN 'good' ELSE 'low' END AS quality_bucket,
+           (is_canonical AND n_words >= 30
+            AND stop_ratio BETWEEN CAST(0.02 AS DOUBLE)
+                               AND CAST(0.7 AS DOUBLE)) AS keep
+    FROM dd
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation DAG as ONE lazy plan — the
+    composition a real user runs end-to-end: HTML extraction (the real
+    kernel, byte-identical), script detection, exact dedup with a
+    deterministic canonical representative (min url per fingerprint
+    group), stopword-ratio quality gate, and the final keep decision.
+    Demonstrates that every stage stays declarative: the only Python is
+    the extraction mapInPandas; dedup is one window over the
+    fingerprint; everything downstream of extraction is JVM column math,
+    so Catalyst pipelines the whole DAG into extraction + one shuffle.
+    Oracle: extraction has a closed form on the synthesized corpus
+    (extract_maincontent's oracle), and every later stage is the proven
+    SQL twin of its standalone query — composed end-to-end."""
+    from my_ocr_spark.operators.dedup import normalized_col
+    from my_ocr_spark.plans.flagship import flagship_extract
+
+    out = flagship_extract(spark, sf_dir).select("url", "text")
+    stop_in = F.expr(
+        f"size(filter(split(lower(text), ' '), x -> x IN {_CURATION_STOP}))")
+    feat = out.select(
+        "url",
+        F.md5("text").alias("text_md5"),
+        F.md5(normalized_col("text")).alias("fp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        stop_in.cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace("text", "[^一-龥]", "")).alias("cjk"),
+        F.length("text").alias("n"))
+    wfp = Window.partitionBy("fp")
+    ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    dd = feat.select(
+        "url", "text_md5",
+        F.count("*").over(wfp).cast("bigint").alias("dup_n"),
+        (F.col("url") == F.min("url").over(wfp)).alias("is_canonical"),
+        "n_words", ratio.alias("stop_ratio"),
+        F.when((F.col("n") > 0)
+               & (F.col("cjk").cast("double") / F.col("n") > 0.05), "zh")
+         .otherwise("latin").alias("script"))
+    good = (F.col("n_words") >= 30) & (F.col("stop_ratio") >= 0.02) \
+        & (F.col("stop_ratio") <= 0.7)
+    return dd.select(
+        "url", "text_md5", "script", "dup_n", "is_canonical",
+        "n_words", "stop_ratio",
+        F.when(good, "good").otherwise("low").alias("quality_bucket"),
+        (F.col("is_canonical") & good).alias("keep"))
