@@ -58,3 +58,29 @@ def test_annotation_lines_and_partitioned_sink(spark, tmp_path):
     # partition dir values read back as strings (no boolean inference)
     assert back.filter(F.col("is_correct") == "true").count() == 1
     assert back.count() == 2
+
+
+def test_pyfiles_zip_is_importable(tmp_path):
+    """spark-submit --py-files artifact: the zip built by
+    scripts/make_pyfiles.py must be importable standalone (fresh
+    interpreter, zip on sys.path FIRST, repo dir absent)."""
+    import subprocess
+    import sys
+
+    from scripts.make_pyfiles import build
+
+    zip_path = build(str(tmp_path))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "sys.path = [p for p in sys.path if p not in ('', '/root/repo')]; "
+        "import my_ocr_spark.kernel.extract as e; "
+        "import my_ocr_spark.kernel.textstats as ts; "
+        "r = e.extract_main_text(b'<html><body><p>%s</p></body></html>'); "
+        "assert r['parse_ok'] and 'hello' in r['text'], r; "
+        "assert ts.token_count('a b c') == 3; "
+        "print('ZIPOK')" % (zip_path, "hello world " * 8)
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, cwd=str(tmp_path))
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "ZIPOK" in out.stdout
