@@ -311,8 +311,11 @@ def pdf_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .mapInPandas(run, schema=_PDF_OUT))
 
 
-_EXTRACT_ORACLE = """
-    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
+# closed-form extraction CTEs shared by extract_maincontent's oracle and
+# the end-to-end curation oracle: 10-word chunks of the synthesized
+# paragraph scheme, kept iff len>=25 or words>=4 (flagship.py's twin)
+_EXTRACT_CTES = """
+    w AS (SELECT doc_id, source, string_split(text, ' ') AS words
                FROM documents),
     u AS (SELECT doc_id, source,
                  unnest(words) AS word,
@@ -323,7 +326,11 @@ _EXTRACT_ORACLE = """
                CAST(floor((gs - 1) / 10) AS INT) AS chunk_id,
                string_agg(word, ' ' ORDER BY gs) AS chunk
         FROM u GROUP BY doc_id, source, CAST(floor((gs - 1) / 10) AS INT)
-    ),
+    )
+"""
+
+_EXTRACT_ORACLE = f"""
+    WITH {_EXTRACT_CTES},
     flagged AS (
         SELECT *, (length(chunk) >= 25
                    OR len(string_split(chunk, ' ')) >= 4) AS kept
@@ -687,23 +694,17 @@ def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("zero_crossings"))
 
 
-_CURATION_STOP = "('the', 'and', 'is', 'of', 'to', 'in', 'a', 'for', 'on', 'with')"
+from my_ocr_spark.plans.textpipe import _STOPWORDS
+
+# rendered once; the curation gate and quality_score stay twins of the
+# same heuristic by construction
+_CURATION_STOP = repr(tuple(_STOPWORDS))
 
 
 @query(
     "corpus_curation_pipeline",
     oracle=f"""
-    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words
-               FROM documents),
-    u AS (SELECT doc_id, source, unnest(words) AS word,
-                 unnest(generate_series(1, len(words))) AS gs
-          FROM w),
-    chunks AS (
-        SELECT doc_id, source,
-               CAST(floor((gs - 1) / 10) AS INT) AS chunk_id,
-               string_agg(word, ' ' ORDER BY gs) AS chunk
-        FROM u GROUP BY doc_id, source, CAST(floor((gs - 1) / 10) AS INT)
-    ),
+    WITH {_EXTRACT_CTES},
     extracted AS (
         SELECT 'https://' || source || '.example/p/'
                    || CAST(doc_id AS VARCHAR) AS url,

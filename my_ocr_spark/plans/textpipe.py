@@ -934,7 +934,7 @@ def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     post AS (
         SELECT gh, count(*) AS df,
-               list({{'doc_id': doc_id, 'pos': pos}} ORDER BY doc_id, pos) AS docs
+               list({{'doc_id': doc_id, 'pos': pos}}) AS docs
         FROM h GROUP BY gh HAVING count(*) BETWEEN 2 AND 16
     ),
     pairs AS (
@@ -981,11 +981,13 @@ def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, size(words) - 4),"
             " i -> md5(array_join(slice(words, i, 5), ' ')))"))
          .alias("pos0", "gh"))
-    h = g.select("doc_id", (F.col("pos0") + 1).alias("pos"), "gh")
+    h = g.select("doc_id",
+                 (F.col("pos0") + 1).cast("bigint").alias("pos"), "gh")
+    # no sort: the postings list is exploded immediately and every
+    # downstream agg / the driver compare is order-insensitive
     post = (h.groupBy("gh")
              .agg(F.count("*").alias("df"),
-                  F.sort_array(F.collect_list(F.struct("doc_id", "pos")))
-                   .alias("docs"))
+                  F.collect_list(F.struct("doc_id", "pos")).alias("docs"))
              .filter((F.col("df") >= 2) & (F.col("df") <= 16)))
     a = post.select("gh", F.explode("docs").alias("a"))
     pairs = (a.alias("x").join(a.alias("y"), "gh")
@@ -1017,11 +1019,11 @@ def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
-           CAST(min(CASE WHEN rn >= ceil(0.5 * n) THEN n_chars END)
+           CAST(min(CASE WHEN rn >= ceil(CAST(0.5 AS DOUBLE) * n) THEN n_chars END)
                 AS BIGINT) AS p50,
-           CAST(min(CASE WHEN rn >= ceil(0.9 * n) THEN n_chars END)
+           CAST(min(CASE WHEN rn >= ceil(CAST(0.9 AS DOUBLE) * n) THEN n_chars END)
                 AS BIGINT) AS p90,
-           CAST(min(CASE WHEN rn >= ceil(0.99 * n) THEN n_chars END)
+           CAST(min(CASE WHEN rn >= ceil(CAST(0.99 AS DOUBLE) * n) THEN n_chars END)
                 AS BIGINT) AS p99
     FROM v GROUP BY source
     """,

@@ -17,8 +17,15 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "my_ocr_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    """NOTE on precedence: builder ``.config``/``.master`` OVERRIDE
+    submit-time ``--conf``/``--master`` (PySpark applies builder options
+    on top of the submit SparkConf), so these local-sandbox defaults
+    would hijack a spark-submit job. A cluster job must either pass
+    ``master=`` explicitly / set SPARK_GRAFT_MASTER, or build its own
+    SparkSession — the package itself never requires this factory."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    master = (master or os.environ.get("SPARK_GRAFT_MASTER")
+              or f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or int(cpus)
     b = (
         SparkSession.builder.appName(app_name)

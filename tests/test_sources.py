@@ -67,18 +67,20 @@ def test_pyfiles_zip_is_importable(tmp_path):
     import subprocess
     import sys
 
-    from scripts.make_pyfiles import build
+    from scripts.make_pyfiles import REPO, build
 
     zip_path = build(str(tmp_path))
     code = (
-        "import sys; sys.path.insert(0, %r); "
-        "sys.path = [p for p in sys.path if p not in ('', '/root/repo')]; "
+        f"import sys; sys.path.insert(0, {zip_path!r}); "
+        f"sys.path = [p for p in sys.path if p not in ('', {REPO!r})]; "
         "import my_ocr_spark.kernel.extract as e; "
         "import my_ocr_spark.kernel.textstats as ts; "
-        "r = e.extract_main_text(b'<html><body><p>%s</p></body></html>'); "
+        "r = e.extract_main_text(b'<html><body><p>"
+        + "hello world " * 8
+        + "</p></body></html>'); "
         "assert r['parse_ok'] and 'hello' in r['text'], r; "
         "assert ts.token_count('a b c') == 3; "
-        "print('ZIPOK')" % (zip_path, "hello world " * 8)
+        "print('ZIPOK')"
     )
     out = subprocess.run([sys.executable, "-c", code],
                          capture_output=True, text=True, cwd=str(tmp_path))
