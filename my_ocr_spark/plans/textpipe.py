@@ -1053,3 +1053,152 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pick(0.5).alias("p50"),
                  pick(0.9).alias("p90"),
                  pick(0.99).alias("p99")))
+
+
+def _semantic_dedup_oracle(n_centroids: int = 16, n_iter: int = 5,
+                           sample_ids: int = 1024, dim: int = 64,
+                           scale: int = 256,
+                           threshold: float = 0.95) -> str:
+    """DuckDB twin of the full SemDeDup pipeline: the synthetic near-dup
+    corpus (scaled + first-dim-perturbed copies), the quantized-integer
+    Lloyd codebook (same unrolled pattern as _ann_ivf_oracle), exact
+    in-cell cosine pairs (fold parity), and the recursive-CTE min-label
+    closure for duplicate components. Exact end-to-end: integers until
+    the cosines, and the cosines are the same left-to-right fold on both
+    engines."""
+    dist = ("list_aggregate(list_transform(generate_series(1, {dim}), "
+            "i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i])), 'sum')"
+            ).format(dim=dim)
+    fold = (lambda a, b: f"list_aggregate(list_transform("
+            f"generate_series(1, {dim}), i -> {a}[i] * {b}[i]), 'sum')")
+    its = []
+    prev = "cent0"
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+    a{k} AS (SELECT s.vec_id, s.qv, c.cell, {dist} AS dist
+             FROM samp s CROSS JOIN {prev} c),
+    b{k} AS (SELECT vec_id, qv, cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cell) AS rn FROM a{k})
+             WHERE rn = 1),
+    u{k} AS (SELECT cell, list(m ORDER BY i) AS cv FROM
+               (SELECT cell, i,
+                       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*))
+                            AS BIGINT) AS m
+                FROM (SELECT cell,
+                             unnest(generate_series(1, {dim})) AS i,
+                             unnest(qv) AS v
+                      FROM b{k})
+                GROUP BY cell, i)
+             GROUP BY cell),
+    cent{k} AS (SELECT c.cell, coalesce(u.cv, c.cv) AS cv
+                FROM {prev} c LEFT JOIN u{k} u USING (cell))""")
+        prev = f"cent{k}"
+    iters = ",".join(its)
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(v, x -> x * CAST(1.25 AS DOUBLE))
+        FROM base WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id + 200000,
+               [v[1] + CAST(0.05 AS DOUBLE)] || v[2:{dim}]
+        FROM base WHERE vec_id % 11 = 0),
+    qz AS (SELECT vec_id, v,
+             list_transform(v, x ->
+                 CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS qv
+           FROM corpus),
+    samp AS (SELECT vec_id, qv FROM qz WHERE vec_id < {sample_ids}),
+    cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qv AS cv
+              FROM samp WHERE vec_id < {n_centroids}),
+    {iters},
+    cells AS (SELECT vec_id, bucket FROM
+                (SELECT s.vec_id, c.cell AS bucket,
+                        row_number() OVER (PARTITION BY s.vec_id
+                            ORDER BY {dist}, c.cell) AS rn
+                 FROM qz s CROSS JOIN {prev} c)
+              WHERE rn = 1),
+    nv AS (SELECT q.vec_id, q.v, cells.bucket,
+                  sqrt({fold('q.v', 'q.v')}) AS nrm
+           FROM qz q JOIN cells USING (vec_id)),
+    edges AS (SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM nv a JOIN nv b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE {fold('a.v', 'b.v')} / (a.nrm * b.nrm)
+                    >= CAST({threshold!r} AS DOUBLE)),
+    sym AS (SELECT src, dst FROM edges
+            UNION SELECT dst, src FROM edges),
+    lbl AS (SELECT src AS node, src AS lab FROM sym
+            UNION
+            SELECT s.dst, l.lab
+            FROM lbl l JOIN sym s ON s.src = l.node),
+    comp AS (SELECT node, min(lab) AS component
+             FROM lbl GROUP BY node)
+    SELECT c.vec_id,
+           coalesce(comp.component, c.vec_id) AS canonical_id,
+           (coalesce(comp.component, c.vec_id) = c.vec_id) AS keep
+    FROM corpus c LEFT JOIN comp ON comp.node = c.vec_id
+    """
+
+
+@query("semantic_dedup_keep", oracle=_semantic_dedup_oracle())
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
+    the embedding space, drop near-duplicates within each cluster): a
+    synthetic near-dup corpus (each 7th vector re-encoded at a different
+    scale, each 11th with a perturbed first dimension — cosine-preserving
+    and cosine-noisy duplicates respectively) is cell-bucketed by the
+    quantized-integer k-means codebook, pairs with in-cell cosine >= 0.95
+    become duplicate edges, connected components pick the min-id
+    canonical, and every vector gets a keep/canonical_id decision.
+
+    Scale shape: the pair search is CELL-LOCAL (the SemDeDup tradeoff:
+    near-dups straddling a cell boundary are missed — recall, not
+    correctness), so cost is sum of per-cell squares, never corpus²;
+    components use the O(log n) pointer-jumping operator. Oracle: whole
+    pipeline exact in SQL — integer Lloyd, fold-parity cosines,
+    recursive-CTE closure."""
+    from my_ocr_spark.operators.graph import connected_components
+    from my_ocr_spark.operators.similarity import (
+        _dot, ivf_assign, train_centroids_kmeans,
+    )
+
+    base = (t(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                     .alias("v")))
+    scaled = (base.filter(F.col("vec_id") % 7 == 0)
+              .select((F.col("vec_id") + 100000).alias("vec_id"),
+                      F.expr("transform(v, x -> x * CAST(1.25 AS DOUBLE))")
+                       .alias("v")))
+    pert = (base.filter(F.col("vec_id") % 11 == 0)
+            .select((F.col("vec_id") + 200000).alias("vec_id"),
+                    F.expr("concat(array(element_at(v, 1)"
+                           " + CAST(0.05 AS DOUBLE)), slice(v, 2, 63))")
+                     .alias("v")))
+    corpus = base.unionAll(scaled).unionAll(pert)
+    cent = train_centroids_kmeans(corpus, n_centroids=16, sample_ids=1024,
+                                  vec_col="v")
+    cells = ivf_assign(corpus, cent, vec_col="v")
+    nv = (corpus.join(cells, corpus.vec_id == cells.vid)
+          .select("vec_id", "v", "bucket")
+          .withColumn("nrm", F.sqrt(_dot("v", "v"))))
+    a, b = nv.alias("a"), nv.alias("b")
+    edges = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(_dot(F.col("a.v"), F.col("b.v"))
+                     / (F.col("a.nrm") * F.col("b.nrm")) >= 0.95)
+             .select(F.col("a.vec_id").alias("src"),
+                     F.col("b.vec_id").alias("dst")))
+    comp = connected_components(edges, "src", "dst")
+    return (corpus.join(comp, corpus.vec_id == comp.node, "left")
+            .select("vec_id",
+                    F.coalesce("component", "vec_id").alias("canonical_id"),
+                    (F.coalesce("component", "vec_id")
+                     == F.col("vec_id")).alias("keep")))
