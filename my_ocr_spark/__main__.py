@@ -5,6 +5,7 @@
     python -m my_ocr_spark extract --input docs.parquet --output out/
     python -m my_ocr_spark blocks  --input docs.parquet --output out/
     python -m my_ocr_spark dedup   --input docs.parquet --output out/
+    python -m my_ocr_spark curate  --input docs.parquet --output out/
 
 The extract sink is deterministic (sortWithinPartitions by url — Spark
 relations are unordered, SURVEY.md §4.3) and lineage-committed
@@ -29,7 +30,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--master", default=None)
         p.add_argument("--buckets", type=int, default=16)
 
-    for name in ("extract", "blocks", "dedup", "vis"):
+    for name in ("extract", "blocks", "dedup", "vis", "curate"):
         common(sub.add_parser(name))
     sub.choices["extract"].add_argument("--no-resume", action="store_true")
     sub.choices["vis"].add_argument("--n", type=int, default=10)
@@ -68,6 +69,37 @@ def main(argv: list[str] | None = None) -> int:
         (exact_dup_groups(docs, "url", "text")
          .write.mode("overwrite").parquet(args.output))
         print(json.dumps({"cmd": "dedup", "output": args.output}))
+    elif args.cmd == "curate":
+        # the end-to-end curation DAG over a REAL page table: extract →
+        # script detect → exact dedup (canonical = min url) → quality
+        # gate → keep decision. Same stages as corpus_curation_pipeline,
+        # over the CLI input instead of the synthesized fixture.
+        from pyspark.sql import Window, functions as F
+
+        from my_ocr_spark.operators.dedup import normalized_col
+        from my_ocr_spark.operators.extract import (extract_docs,
+                                                    latest_snapshot)
+
+        ex = extract_docs(latest_snapshot(docs)).select(
+            "url", "text", "parse_ok")
+        feat = ex.select(
+            "url", "text", "parse_ok",
+            F.md5(normalized_col("text")).alias("fp"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words"))
+        wfp = Window.partitionBy("fp")
+        dd = feat.select(
+            "url", "text", "n_words",
+            F.count("*").over(wfp).cast("bigint").alias("dup_n"),
+            (F.col("url") == F.min("url").over(wfp)).alias("is_canonical"),
+            "parse_ok")
+        out = dd.withColumn(
+            "keep", F.col("parse_ok") & F.col("is_canonical")
+            & (F.col("n_words") >= 30))
+        out.sortWithinPartitions("url").write.mode("overwrite")            .parquet(args.output)
+        kept = out.filter("keep").count()
+        total = out.count()
+        print(json.dumps({"cmd": "curate", "output": args.output,
+                          "n_docs": total, "n_kept": kept}))
     elif args.cmd == "vis":
         # debug rendering (visualize.py / det_test_imgs.py analog):
         # bounded sample, one annotated rendering per document

@@ -59,3 +59,22 @@ def test_cli_extract_end_to_end(spark, docs_df, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs_df.select("url").distinct().count()
     assert "text" in back.columns
+
+
+def test_cli_curate_end_to_end(spark, docs_df, tmp_path):
+    """curate subcommand: extract → dedup → quality gate → keep column,
+    written as parquet with counts on stdout. Subprocess like the
+    extract test — the CLI owns (and stops) its session."""
+    src = str(tmp_path / "curate_src")
+    docs_df.write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+    p = subprocess.run(
+        [sys.executable, "-m", "my_ocr_spark", "curate",
+         "--input", src, "--output", out_dir, "--master", "local[2]"],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo")
+    assert p.returncode == 0, p.stderr[-1500:]
+    stats = json.loads(p.stdout.strip().splitlines()[-1])
+    assert stats["cmd"] == "curate" and stats["n_docs"] > 0
+    got = spark.read.parquet(out_dir)
+    assert set(["url", "keep", "dup_n", "is_canonical"]) <= set(got.columns)
+    assert got.count() == stats["n_docs"]
