@@ -58,3 +58,60 @@ def test_layout_oracle_matches_kernel_on_random_pages(seed):
     assert set(oracle) == set(kernel)
     mism = {k for k in kernel if oracle[k] != kernel[k]}
     assert not mism, sorted(mism)[:5]
+
+
+def _clipped_runs_tp(a, b):
+    """Pure-python twin of the _charpr_oracle recursion: global maximal
+    diagonal runs, best clipped run per segment (len DESC, i, j),
+    divide and conquer."""
+    ms = {(i + 1, j + 1) for i, ca in enumerate(a)
+          for j, cb in enumerate(b) if ca == cb}
+    runs = []
+    for (i, j) in ms:
+        if (i - 1, j - 1) not in ms:
+            ln = 0
+            while (i + ln, j + ln) in ms:
+                ln += 1
+            runs.append((i - j, i, ln))
+    total = 0
+    stack = [(1, len(a) + 1, 1, len(b) + 1)]
+    while stack:
+        alo, ahi, blo, bhi = stack.pop()
+        best = None
+        for d, i0, ln in runs:
+            ci = max(i0, alo, d + blo)
+            ck = min(i0 + ln, ahi, d + bhi) - ci
+            if ck > 0:
+                key = (-ck, ci, ci - d)
+                if best is None or key < best[0]:
+                    best = (key, ci, ci - d, ck)
+        if best is None:
+            continue
+        _, bi, bj, bk = best
+        total += bk
+        if alo < bi and blo < bj:
+            stack.append((alo, bi, blo, bj))
+        if bi + bk < ahi and bj + bk < bhi:
+            stack.append((bi + bk, ahi, bj + bk, bhi))
+    return total
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_charpr_oracle_model_matches_difflib(seed):
+    """The char-P/R oracle's Ratcliff–Obershelp replay (clipped maximal
+    runs + (len, i, j) tie rule) must agree with difflib's
+    SequenceMatcher — the kernel's matcher — on random strings,
+    including tiny alphabets where matches are dense and tie rules
+    matter."""
+    import random
+    from difflib import SequenceMatcher
+
+    rng = random.Random(seed)
+    for _ in range(1500):
+        n, m = rng.randint(0, 24), rng.randint(0, 24)
+        k = rng.choice([2, 3, 4, 6])
+        a = "".join(rng.choice("abcdef"[:k]) for _ in range(n))
+        b = "".join(rng.choice("abcdef"[:k]) for _ in range(m))
+        sm = SequenceMatcher(None, a, b, autojunk=False)
+        want = sum(bl.size for bl in sm.get_matching_blocks())
+        assert _clipped_runs_tp(a, b) == want, (a, b)
