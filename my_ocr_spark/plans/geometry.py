@@ -1105,3 +1105,70 @@ def tps_warp_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_TPS_OUT)
+
+
+# --- EastRandomCrop region finding (deterministic core) ---------------------
+
+_CROP_BOXES = """
+    SELECT l_orderkey AS img,
+           CAST((l_partkey % 5) * 30 AS DOUBLE) AS x0,
+           CAST((l_partkey % 5) * 30 + 8 + l_suppkey % 25 AS DOUBLE) AS x1,
+           CAST(((l_linenumber - 1) % 4) * 20 AS DOUBLE) AS y0,
+           CAST(((l_linenumber - 1) % 4) * 20 + 12 AS DOUBLE) AS y1
+    FROM lineitem WHERE l_orderkey % 10 = 1
+"""
+
+
+@query(
+    "crop_region_gaps",
+    oracle=f"""
+    WITH boxes AS ({_CROP_BOXES}),
+    iv AS (
+        SELECT img, 'x' AS axis, x0 AS lo, x1 AS hi FROM boxes
+        UNION ALL
+        SELECT img, 'y' AS axis, y0 AS lo, y1 AS hi FROM boxes
+    ),
+    g AS (
+        SELECT img, axis, lo, hi,
+               max(hi) OVER (PARTITION BY img, axis ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+        FROM iv
+    )
+    SELECT img, axis, pm AS gap_start, lo AS gap_end,
+           lo - pm AS gap_len
+    FROM g WHERE pm IS NOT NULL AND lo > pm
+    """,
+)
+def crop_region_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic core of EastRandomCrop / RandomCropFlip's
+    region finding (dbnet_transforms.py:205-233, transforms.py:930-967):
+    per image and axis, project box intervals onto the coordinate axis
+    and enumerate the free gaps between occupied runs — exactly the
+    candidate crop-cut regions the reference's random_select then
+    samples from (the sampling is the only nondeterministic part and is
+    excluded per SURVEY §2.9; the region enumeration is the engine op).
+    Native window-function plan, no Python: one shuffle on (img, axis),
+    a running-max frame, a filter. Same occupancy-gap math the XY-cut
+    oracle uses."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 10 == 1))
+    boxes = li.select(
+        F.col("l_orderkey").alias("img"),
+        ((F.col("l_partkey") % 5) * 30.0).alias("x0"),
+        ((F.col("l_partkey") % 5) * 30.0 + 8
+         + F.col("l_suppkey") % 25).alias("x1"),
+        (((F.col("l_linenumber") - 1) % 4) * 20.0).alias("y0"),
+        (((F.col("l_linenumber") - 1) % 4) * 20.0 + 12).alias("y1"))
+    iv = (boxes.select("img", F.lit("x").alias("axis"),
+                       F.col("x0").alias("lo"), F.col("x1").alias("hi"))
+          .unionAll(boxes.select("img", F.lit("y").alias("axis"),
+                                 F.col("y0").alias("lo"),
+                                 F.col("y1").alias("hi"))))
+    w = (Window.partitionBy("img", "axis").orderBy("lo", "hi")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    g = iv.withColumn("pm", F.max("hi").over(w))
+    return (g.filter(F.col("pm").isNotNull() & (F.col("lo") > F.col("pm")))
+            .select("img", "axis", F.col("pm").alias("gap_start"),
+                    F.col("lo").alias("gap_end"),
+                    (F.col("lo") - F.col("pm")).alias("gap_len")))
