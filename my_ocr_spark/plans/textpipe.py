@@ -1202,3 +1202,43 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("component", "vec_id").alias("canonical_id"),
                     (F.coalesce("component", "vec_id")
                      == F.col("vec_id")).alias("keep")))
+
+
+# GPT-2-style pre-tokenizer pattern, lookahead-free so it runs
+# identically under Java regex (Spark) and RE2 (DuckDB): optional
+# leading space + letter run / digit run / symbol run, else whitespace
+_BPE_PAT = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+@query(
+    "bpe_regex_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           array_to_string(
+               list_transform(regexp_extract_all(text, '{_BPE_PAT}')[1:8],
+                              x -> replace(x, ' ', '_')), '|')
+               AS first_tokens
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (the GPT-2 pre-tokenizer
+    pattern, simplified to be lookahead-free so Java regex and RE2 agree
+    token-for-token): per document the regex token count next to the
+    whitespace count — the ratio is the classic tokens-per-word corpus
+    statistic a training pipeline budgets against. first_tokens (spaces
+    visualized as '_') pins the segmentation itself, not just counts.
+    Pure JVM regexp, no shuffle beyond the scan."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 8),
+                        lambda x: F.replace(x, F.lit(" "), F.lit("_"))),
+            "|").alias("first_tokens"))
