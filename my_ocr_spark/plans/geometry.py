@@ -1172,3 +1172,130 @@ def crop_region_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("img", "axis", F.col("pm").alias("gap_start"),
                     F.col("lo").alias("gap_end"),
                     (F.col("lo") - F.col("pm")).alias("gap_len")))
+
+
+# --- Fourier shape descriptors (fcenet poly2fourier / fourier2poly) ---------
+
+_FOURIER_COLS = ("cm1_re", "cm1_im", "c0_re", "c0_im", "c1_re", "c1_im",
+                 "r0x", "r0y", "r1x", "r1y", "r2x", "r2y", "r3x", "r3y")
+
+_FOURIER_OUT = T.StructType(
+    [T.StructField("poly_id", T.LongType(), False),
+     T.StructField("shape", T.StringType(), False)]
+    + [T.StructField(n, T.DoubleType(), False) for n in _FOURIER_COLS])
+
+
+def _fourier_oracle() -> str:
+    """Closed-form DFT replay for the exact-dyadic contour fixtures.
+
+    With 4 equal-arc sample points the forward FFT's n=4 butterflies are
+    pure add/sub/swap (twiddles in {1, i, -1, -i}) — exact on the
+    integer-coordinate fixtures — so the oracle computes the same
+    c_{-1}, c_0, c_1 sums directly from the vertices, and the inverse
+    evaluation at t = j/4 is the same sign arithmetic (the kernel's
+    np.exp(i*pi/2) carries a ~1e-16 residue that the shared
+    floor-half-up 4dp rounding absorbs — the tps_warp_checksum
+    pattern)."""
+    r4 = lambda x: f"floor(({x}) * 1e4 + 0.5) / 1e4"
+    cm1_re = "(x0 - x2 - (y1 - y3)) / 4"
+    cm1_im = "(y0 - y2 + (x1 - x3)) / 4"
+    c0_re = "(x0 + x1 + x2 + x3) / 4"
+    c0_im = "(y0 + y1 + y2 + y3) / 4"
+    c1_re = "(x0 - x2 + (y1 - y3)) / 4"
+    c1_im = "(y0 - y2 - (x1 - x3)) / 4"
+    # z(t_j) = c_{-1} e^{-2pi i t_j} + c_0 + c_1 e^{2pi i t_j},
+    # t_j = j/4 -> twiddles {1, i, -1, -i}: pure sign arithmetic
+    recon = {
+        "r0x": "cm1_re + c0_re + c1_re", "r0y": "cm1_im + c0_im + c1_im",
+        "r1x": "cm1_im + c0_re - c1_im", "r1y": "c0_im - cm1_re + c1_re",
+        "r2x": "c0_re - cm1_re - c1_re", "r2y": "c0_im - cm1_im - c1_im",
+        "r3x": "c0_re - cm1_im + c1_im", "r3y": "cm1_re + c0_im - c1_re",
+    }
+    coef_sel = ",\n           ".join(
+        f"{r4(e)} AS {n}"
+        for n, e in (("cm1_re", cm1_re), ("cm1_im", cm1_im),
+                     ("c0_re", c0_re), ("c0_im", c0_im),
+                     ("c1_re", c1_re), ("c1_im", c1_im)))
+    recon_sel = ",\n           ".join(
+        f"{r4(e)} AS {n}" for n, e in recon.items())
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey AS poly_id,
+               CAST(o_orderkey % 97 AS DOUBLE) AS cx,
+               CAST((3 * o_orderkey) % 89 AS DOUBLE) AS cy,
+               CAST(1 + o_orderkey % 13 AS DOUBLE) AS r,
+               o_orderkey % 2 = 0 AS is_sq
+        FROM orders WHERE o_orderkey % 3 = 0),
+    v AS (
+        SELECT poly_id,
+               CASE WHEN is_sq THEN 'square' ELSE 'diamond' END AS shape,
+               CASE WHEN is_sq THEN cx - r ELSE cx + r END AS x0,
+               CASE WHEN is_sq THEN cy - r ELSE cy END AS y0,
+               CASE WHEN is_sq THEN cx + r ELSE cx END AS x1,
+               CASE WHEN is_sq THEN cy - r ELSE cy + r END AS y1,
+               CASE WHEN is_sq THEN cx + r ELSE cx - r END AS x2,
+               CASE WHEN is_sq THEN cy + r ELSE cy END AS y2,
+               CASE WHEN is_sq THEN cx - r ELSE cx END AS x3,
+               CASE WHEN is_sq THEN cy + r ELSE cy - r END AS y3
+        FROM base),
+    c AS (
+        SELECT poly_id, shape,
+           {coef_sel}
+        FROM v)
+    SELECT poly_id, shape, cm1_re, cm1_im, c0_re, c0_im, c1_re, c1_im,
+           {recon_sel}
+    FROM c
+    """
+
+
+@query("fourier_descriptor_roundtrip", oracle=_fourier_oracle())
+def fourier_descriptor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourier shape descriptors + inverse reconstruction
+    (fcenet_targets.py:165-220 ``cal_fourier_signature`` forward,
+    wrapper.py:501-522 ``fourier2poly`` inverse), run end-to-end through
+    the real kernel (arc-length resample -> np.fft -> truncation ->
+    inverse evaluation) on key-derived exact-dyadic contours: even keys
+    get axis-aligned squares, odd keys diamonds (45-degree squares), so
+    every c_{-1}/c_0/c_1 coefficient and every reconstructed point has a
+    closed form the oracle re-derives as explicit DFT sign arithmetic.
+    k=1 captures all non-zero frequencies of a 4-point regular contour,
+    so the roundtrip returns the input vertices — descriptor AND inverse
+    are both pinned, not just a checksum. One narrow mapInPandas over
+    the scan (no shuffle); per-row numpy work is O(n_sample log n)."""
+    import math
+
+    from my_ocr_spark.kernel.fourier import fourier2poly, poly2fourier
+
+    o = (t(spark, sf_dir, "orders").select("o_orderkey")
+         .filter(F.col("o_orderkey") % 3 == 0))
+
+    def r4(x: float) -> float:
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["poly_id", "shape", *_FOURIER_COLS]
+        for pdf in batches:
+            recs = []
+            for key in pdf["o_orderkey"]:
+                key = int(key)
+                cx = float(key % 97)
+                cy = float((3 * key) % 89)
+                r = float(1 + key % 13)
+                if key % 2 == 0:
+                    shape = "square"
+                    v = [(cx - r, cy - r), (cx + r, cy - r),
+                         (cx + r, cy + r), (cx - r, cy + r)]
+                else:
+                    shape = "diamond"
+                    v = [(cx + r, cy), (cx, cy + r),
+                         (cx - r, cy), (cx, cy - r)]
+                c = poly2fourier(np.array(v, dtype=np.float64),
+                                 k=1, n_sample=4)
+                rec = fourier2poly(c, n_points=4)
+                recs.append(
+                    [key, shape]
+                    + [r4(x) for z in c for x in (z.real, z.imag)]
+                    + [r4(float(x)) for p in rec for x in p])
+            yield pd.DataFrame(recs, columns=cols)
+
+    return o.mapInPandas(run, schema=_FOURIER_OUT)

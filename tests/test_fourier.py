@@ -42,3 +42,21 @@ def test_degenerate_polygon_no_nan():
     pt = np.array([[3.0, 4.0]])
     c = poly2fourier(pt, k=3)
     assert np.isfinite(c).all()
+
+
+def test_square_diamond_closed_form_coefficients():
+    # 4-point regular contours: c_{-1}=0, c_0=center, and c_1 is
+    # (-r - r*i) for the axis-aligned square / r for the diamond —
+    # the closed forms the fourier_descriptor_roundtrip oracle replays.
+    cx, cy, r = 23.0, 41.0, 6.0
+    sq = np.array([(cx - r, cy - r), (cx + r, cy - r),
+                   (cx + r, cy + r), (cx - r, cy + r)])
+    dia = np.array([(cx + r, cy), (cx, cy + r),
+                    (cx - r, cy), (cx, cy - r)])
+    csq = poly2fourier(sq, k=1, n_sample=4)
+    cdia = poly2fourier(dia, k=1, n_sample=4)
+    assert np.allclose(csq, [0, cx + cy * 1j, -r - r * 1j], atol=1e-12)
+    assert np.allclose(cdia, [0, cx + cy * 1j, r], atol=1e-12)
+    # k=1 captures all non-zero frequencies -> roundtrip = vertices
+    assert np.allclose(fourier2poly(csq, 4), sq, atol=1e-12)
+    assert np.allclose(fourier2poly(cdia, 4), dia, atol=1e-12)
