@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from my_ocr_spark.kernel import textstats as ts
 
@@ -343,3 +343,64 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     return (pairs.withColumn("hamming", hamming)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("doc1", "doc2", "hamming"))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    gram_width: int = 5, df_cap: int = 16,
+                    min_grams: int = 2) -> DataFrame:
+    """Exact duplicated-substring spans across documents (Lee et al.
+    2022, 'Deduplicating Training Data Makes Language Models Better' —
+    the suffix-array pass, done as a postings join): ``gram_width``-word
+    gram hashes with positions → inverted index → cross-doc match pairs
+    → maximal shared spans via the diagonal gaps-and-islands recurrence
+    (matches with constant p1-p2 and consecutive p1 merge). Emits spans
+    of >= ``min_grams`` overlapping grams, i.e. >= min_grams +
+    gram_width - 1 shared words.
+
+    ``df_cap`` is the enforced quadratic-blow-up guard (default 16,
+    deliberately tighter than ngram_jaccard's 64: every surviving
+    posting fans out per-POSITION pairs, not per-doc): a gram appearing
+    in more than ``df_cap`` positions corpus-wide is boilerplate and is
+    dropped from the index, so pair fan-out per gram is bounded by
+    cap²/2. ``gram_width`` trades recall floor for index size — wider
+    grams mean fewer, more discriminating postings. Both are the knobs
+    a 100 TB caller tunes (cap up on diverse corpora, width up on
+    templated ones); the skew bound is pytest-checked with a synthetic
+    hot-gram corpus. Cost: one shuffle on the gram hash, one on the
+    (doc1, doc2, diagonal) span key.
+    """
+    w_words = F.split(normalized_col(text_col), " ")
+    d = (df.select(F.col(id_col).alias("doc_id"),
+                   w_words.alias("words"))
+           .filter(F.size("words") >= gram_width))
+    g = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(words) - {gram_width - 1}),"
+            f" i -> md5(array_join(slice(words, i, {gram_width}), ' ')))"))
+         .alias("pos0", "gh"))
+    h = g.select("doc_id",
+                 (F.col("pos0") + 1).cast("bigint").alias("pos"), "gh")
+    # no sort: the postings list is exploded immediately and every
+    # downstream agg / the driver compare is order-insensitive
+    post = (h.groupBy("gh")
+             .agg(F.count("*").alias("df"),
+                  F.collect_list(F.struct("doc_id", "pos")).alias("docs"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= df_cap)))
+    a = post.select("gh", F.explode("docs").alias("a"))
+    pairs = (a.alias("x").join(a.alias("y"), "gh")
+             .filter(F.col("x.a.doc_id") < F.col("y.a.doc_id"))
+             .select(F.col("x.a.doc_id").alias("doc1"),
+                     F.col("x.a.pos").alias("p1"),
+                     F.col("y.a.doc_id").alias("doc2"),
+                     F.col("y.a.pos").alias("p2")))
+    win = Window.partitionBy("doc1", "doc2",
+                             F.col("p1") - F.col("p2")).orderBy("p1")
+    isl = pairs.withColumn("grp", F.col("p1") - F.row_number().over(win))
+    return (isl.groupBy("doc1", "doc2", (F.col("p1") - F.col("p2")), "grp")
+            .agg(F.min("p1").alias("start1"), F.min("p2").alias("start2"),
+                 F.count("*").alias("n_grams"),
+                 (F.count("*") + gram_width - 1).alias("span_words"))
+            .filter(F.col("n_grams") >= min_grams)
+            .select("doc1", "doc2", "start1", "start2",
+                    "n_grams", "span_words"))

@@ -138,14 +138,18 @@ def quantize_vecs(mat):
 
 
 def train_centroids_kmeans(df: DataFrame, n_centroids: int = 16,
-                           n_iter: int = 5, sample_ids: int = 2048,
+                           n_iter: int = 5, sample_n: int = 2048,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding"):
-    """Deterministic quantized mini k-means for the IVF codebook: seed
-    centroids = the ``n_centroids`` lowest-id vectors (no RNG), a few
-    Lloyd iterations over a bounded id-sample collected to the driver.
-    At scale the sample is a fixed-size head — codebook training never
-    touches the full corpus.
+    """Deterministic quantized mini k-means for the IVF codebook: the
+    sample is the ``sample_n`` vectors with the LOWEST md5(id) (ties →
+    lower id), seed centroids its first ``n_centroids`` rows in that
+    order — no RNG, and (unlike an ``id < n`` head) independent of the
+    id space, so sparse-hash ids on a real corpus still yield a full,
+    unskewed sample. md5 rather than xxhash64 keeps the rule replayable
+    in the DuckDB oracle (hex strings compare identically in both
+    engines). At scale the sample is a bounded top-n (TakeOrdered, no
+    full sort) — codebook training never touches the full corpus.
 
     All Lloyd arithmetic is exact int64 on quantized vectors (squared-L2
     distances, floor-div means, empty cells keep their centroid), so the
@@ -153,10 +157,14 @@ def train_centroids_kmeans(df: DataFrame, n_centroids: int = 16,
     rather than depending on float summation order."""
     import numpy as np
 
-    sample = (df.filter(F.col(id_col) < sample_ids)
-                .orderBy(id_col).select(vec_col).collect())
-    x = quantize_vecs(np.stack([np.asarray(r[0], dtype=np.float64)
-                                for r in sample]))
+    rows = (df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_v"))
+              .withColumn("_h", F.md5(F.col("_id").cast("string")))
+              .orderBy("_h", "_id").limit(sample_n).collect())
+    # re-sort driver-side so the codebook never depends on plan quirks
+    rows.sort(key=lambda r: (r["_h"], r["_id"]))
+    x = quantize_vecs(np.stack([np.asarray(r["_v"], dtype=np.float64)
+                                for r in rows]))
     cent = x[:n_centroids].copy()
     for _ in range(n_iter):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

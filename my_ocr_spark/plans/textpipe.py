@@ -583,16 +583,18 @@ def minhash_then_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_oracle(n_centroids: int = 16, n_iter: int = 5,
-                    sample_ids: int = 1024, dim: int = 64,
+                    sample_n: int = 1024, dim: int = 64,
                     scale: int = 256) -> str:
-    """DuckDB twin of the FULL IVF pipeline: the quantized-integer Lloyd
-    loop (train_centroids_kmeans) unrolled as n_iter assign/update CTE
-    pairs — quantization floor(x*scale+0.5), exact int64 squared-L2,
-    argmin ties → lowest cell, per-dim floor-div means, empty cells keep
-    their centroid — then corpus assignment, n_probe=2 cell probing, and
-    fold-parity cosine rescoring (the proven embedding_ann_lsh pattern).
-    Every arithmetic step is exact integers until the final cosine, so
-    'approximate' is the recall property, not nondeterminism."""
+    """DuckDB twin of the FULL IVF pipeline: the hash-ordered codebook
+    sample (lowest md5(id) — id-space independent, see
+    train_centroids_kmeans), the quantized-integer Lloyd loop unrolled
+    as n_iter assign/update CTE pairs — quantization floor(x*scale+0.5),
+    exact int64 squared-L2, argmin ties → lowest cell, per-dim floor-div
+    means, empty cells keep their centroid — then corpus assignment,
+    n_probe=2 cell probing, and fold-parity cosine rescoring (the proven
+    embedding_ann_lsh pattern). Every arithmetic step is exact integers
+    until the final cosine, so 'approximate' is the recall property, not
+    nondeterminism."""
     dist = ("list_aggregate(list_transform(generate_series(1, {dim}), "
             "i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i])), 'sum')"
             ).format(dim=dim)
@@ -629,9 +631,15 @@ def _ann_ivf_oracle(n_centroids: int = 16, n_iter: int = 5,
                     CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5)
                          AS BIGINT)) AS qv
                 FROM embeddings),
-    samp AS (SELECT vec_id, qv FROM qz WHERE vec_id < {sample_ids}),
-    cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qv AS cv
-              FROM samp WHERE vec_id < {n_centroids}),
+    samp AS (SELECT vec_id, qv, hrk FROM
+               (SELECT vec_id, qv,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                           AS hrk
+                FROM qz)
+             WHERE hrk <= {sample_n}),
+    cent0 AS (SELECT CAST(hrk - 1 AS INTEGER) AS cell, qv AS cv
+              FROM samp WHERE hrk <= {n_centroids}),
     {iters},
     cassign AS (SELECT vec_id, bucket FROM
                   (SELECT s.vec_id, c.cell AS bucket,
@@ -677,7 +685,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = train_centroids_kmeans(emb, n_centroids=16, sample_ids=1024)
+    cent = train_centroids_kmeans(emb, n_centroids=16, sample_n=1024)
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), cent,
                         k=3, n_probe=2)
 
@@ -913,29 +921,33 @@ def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("path").alias("n_paths")))
 
 
-@query(
-    "duplicate_span_pairs",
-    oracle=f"""
+def _dup_span_oracle(gram_width: int = 5, df_cap: int = 16,
+                     min_grams: int = 2) -> str:
+    """DuckDB twin of operators.dedup.duplicate_spans, parameterized on
+    the same knobs (gram width, df cap, span threshold)."""
+    return f"""
     WITH d AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
         FROM documents
-        WHERE len(string_split({_NORM_SQL}, ' ')) >= 5
+        WHERE len(string_split({_NORM_SQL}, ' ')) >= {gram_width}
     ),
     g AS (
         SELECT doc_id,
-               unnest(generate_series(1, len(words) - 4)) AS pos,
+               unnest(generate_series(1, len(words) - {gram_width - 1}))
+                   AS pos,
                words
         FROM d
     ),
     h AS (
         SELECT doc_id, pos,
-               md5(array_to_string(words[pos:pos + 4], ' ')) AS gh
+               md5(array_to_string(words[pos:pos + {gram_width - 1}], ' '))
+                   AS gh
         FROM g
     ),
     post AS (
         SELECT gh, count(*) AS df,
                list({{'doc_id': doc_id, 'pos': pos}}) AS docs
-        FROM h GROUP BY gh HAVING count(*) BETWEEN 2 AND 16
+        FROM h GROUP BY gh HAVING count(*) BETWEEN 2 AND {df_cap}
     ),
     pairs AS (
         SELECT a.doc_id AS doc1, a.pos AS p1,
@@ -953,59 +965,28 @@ def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans AS (
         SELECT doc1, doc2, min(p1) AS start1, min(p2) AS start2,
                CAST(count(*) AS BIGINT) AS n_grams,
-               CAST(count(*) + 4 AS BIGINT) AS span_words
+               CAST(count(*) + {gram_width - 1} AS BIGINT) AS span_words
         FROM isl GROUP BY doc1, doc2, p1 - p2, grp
     )
-    SELECT * FROM spans WHERE n_grams >= 2
-    """,
-)
+    SELECT * FROM spans WHERE n_grams >= {min_grams}
+    """
+
+
+@query("duplicate_span_pairs", oracle=_dup_span_oracle())
 def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans across documents (the
     suffix-array-style training-data dedup of Lee et al., 'Deduplicating
     Training Data Makes Language Models Better', done as a postings
-    join): 5-gram hashes with positions → inverted index with the
-    enforced df cap (same scale guard as ngram_jaccard) → cross-doc
-    match pairs → maximal shared spans via the diagonal gaps-and-islands
-    recurrence (matches with constant p1-p2 and consecutive p1 merge —
-    the same pattern that oracles SequenceMatcher runs). Emits spans of
-    ≥2 overlapping 5-grams (≥6 shared words). Everything is one shuffle
-    on the gram hash plus one on the (doc1, doc2) pair key; positions
-    are exact integers on both engines."""
-    d = (t(spark, sf_dir, "documents")
-         .select("doc_id",
-                 F.split(normalized_col("text"), " ").alias("words"))
-         .filter(F.size("words") >= 5))
-    g = d.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            "transform(sequence(1, size(words) - 4),"
-            " i -> md5(array_join(slice(words, i, 5), ' ')))"))
-         .alias("pos0", "gh"))
-    h = g.select("doc_id",
-                 (F.col("pos0") + 1).cast("bigint").alias("pos"), "gh")
-    # no sort: the postings list is exploded immediately and every
-    # downstream agg / the driver compare is order-insensitive
-    post = (h.groupBy("gh")
-             .agg(F.count("*").alias("df"),
-                  F.collect_list(F.struct("doc_id", "pos")).alias("docs"))
-             .filter((F.col("df") >= 2) & (F.col("df") <= 16)))
-    a = post.select("gh", F.explode("docs").alias("a"))
-    pairs = (a.alias("x").join(a.alias("y"), "gh")
-             .filter(F.col("x.a.doc_id") < F.col("y.a.doc_id"))
-             .select(F.col("x.a.doc_id").alias("doc1"),
-                     F.col("x.a.pos").alias("p1"),
-                     F.col("y.a.doc_id").alias("doc2"),
-                     F.col("y.a.pos").alias("p2")))
-    w = Window.partitionBy("doc1", "doc2",
-                           F.col("p1") - F.col("p2")).orderBy("p1")
-    isl = pairs.withColumn("grp", F.col("p1") - F.row_number().over(w))
-    return (isl.groupBy("doc1", "doc2", (F.col("p1") - F.col("p2")), "grp")
-            .agg(F.min("p1").alias("start1"), F.min("p2").alias("start2"),
-                 F.count("*").alias("n_grams"),
-                 (F.count("*") + 4).alias("span_words"))
-            .filter(F.col("n_grams") >= 2)
-            .select("doc1", "doc2", "start1", "start2",
-                    "n_grams", "span_words"))
+    join) — see operators.dedup.duplicate_spans for the plan and the
+    scale knobs (gram_width / df_cap / min_grams, registered here at
+    their documented defaults 5/16/2: spans of >=2 overlapping 5-grams,
+    i.e. >=6 shared words). One shuffle on the gram hash plus one on
+    the (doc1, doc2, diagonal) span key; positions are exact integers
+    on both engines."""
+    from my_ocr_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(t(spark, sf_dir, "documents"),
+                           "doc_id", "text")
 
 
 @query(
@@ -1056,7 +1037,7 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(n_centroids: int = 16, n_iter: int = 5,
-                           sample_ids: int = 1024, dim: int = 64,
+                           sample_n: int = 1024, dim: int = 64,
                            scale: int = 256,
                            threshold: float = 0.95) -> str:
     """DuckDB twin of the full SemDeDup pipeline: the synthetic near-dup
@@ -1114,9 +1095,15 @@ def _semantic_dedup_oracle(n_centroids: int = 16, n_iter: int = 5,
              list_transform(v, x ->
                  CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS qv
            FROM corpus),
-    samp AS (SELECT vec_id, qv FROM qz WHERE vec_id < {sample_ids}),
-    cent0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, qv AS cv
-              FROM samp WHERE vec_id < {n_centroids}),
+    samp AS (SELECT vec_id, qv, hrk FROM
+               (SELECT vec_id, qv,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                           AS hrk
+                FROM qz)
+             WHERE hrk <= {sample_n}),
+    cent0 AS (SELECT CAST(hrk - 1 AS INTEGER) AS cell, qv AS cv
+              FROM samp WHERE hrk <= {n_centroids}),
     {iters},
     cells AS (SELECT vec_id, bucket FROM
                 (SELECT s.vec_id, c.cell AS bucket,
@@ -1183,7 +1170,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " + CAST(0.05 AS DOUBLE)), slice(v, 2, 63))")
                      .alias("v")))
     corpus = base.unionAll(scaled).unionAll(pert)
-    cent = train_centroids_kmeans(corpus, n_centroids=16, sample_ids=1024,
+    cent = train_centroids_kmeans(corpus, n_centroids=16, sample_n=1024,
                                   vec_col="v")
     cells = ivf_assign(corpus, cent, vec_col="v")
     nv = (corpus.join(cells, corpus.vec_id == cells.vid)

@@ -171,3 +171,45 @@ def test_lsh_ann_finds_near_copy(spark, emb_df):
     rows = sorted(out.collect(), key=lambda r: r["rank"])
     # near-copy lands in the same sign bucket with overwhelming likelihood
     assert rows and rows[0]["neighbor_id"] == 8
+
+
+def test_duplicate_spans_df_cap_drops_hot_gram(spark):
+    """Scale guard: a boilerplate 5-gram planted in 500 docs must NOT
+    fan out ~500²/2 position pairs — with df_cap=16 the hot gram is
+    dropped from the index entirely, while a discriminating shared span
+    between two docs still surfaces with exact positions."""
+    from my_ocr_spark.operators.dedup import duplicate_spans
+
+    hot = "all rights reserved contact us"      # one hot 5-gram
+    span = "unique duplicated sentence appears here twice in a row"
+    rows = [(i, f"doc number {i} begins {hot}") for i in range(500)]
+    rows += [(1000, f"alpha {span} omega"), (1001, f"beta {span} gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = duplicate_spans(df, "doc_id", "text",
+                          gram_width=5, df_cap=16, min_grams=2).collect()
+    # only the planted pair survives; the hot gram contributes nothing
+    assert {(r["doc1"], r["doc2"]) for r in out} == {(1000, 1001)}
+    (r,) = out
+    # span = 9 shared words -> 5 overlapping 5-grams starting at word 2
+    assert (r["n_grams"], r["span_words"]) == (5, 9)
+    assert (r["start1"], r["start2"]) == (2, 2)
+
+
+def test_duplicate_spans_knobs(spark):
+    """gram_width widens the recall floor; min_grams gates span length."""
+    from my_ocr_spark.operators.dedup import duplicate_spans
+
+    shared = "one two three four five six"      # 6 shared words
+    rows = [(0, f"x {shared}"), (1, f"{shared} y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # width 5: 2 overlapping 5-grams -> passes min_grams=2
+    out5 = duplicate_spans(df, "doc_id", "text", gram_width=5).collect()
+    assert [(r["n_grams"], r["span_words"]) for r in out5] == [(2, 6)]
+    # width 6: a single 6-gram match -> filtered at min_grams=2,
+    # surfaced at min_grams=1
+    assert duplicate_spans(df, "doc_id", "text",
+                           gram_width=6).collect() == []
+    out6 = duplicate_spans(df, "doc_id", "text", gram_width=6,
+                           min_grams=1).collect()
+    assert [(r["n_grams"], r["span_words"]) for r in out6] == [(1, 6)]
