@@ -1,0 +1,92 @@
+"""Binary pixel morphology for mask decode: hole filling + thinning.
+
+Reference analogs (semantics, not code):
+* ``fill_hole`` (``mmocr/models/textdet/postprocess/wrapper.py:232-242``):
+  cv2.floodFill from the padded border, then ``~reachable | mask`` — holes
+  are the zero-regions NOT 4-connected to the outside.
+* ``skeletonize`` (``wrapper.py:12,359``): skimage Zhang-Suen thinning of
+  per-instance center masks in textsnake_decode.
+
+Pure numpy, no cv2/skimage (absent in this environment). Masks here are
+per-text-instance crops (bounded, small); the vectorized frontier fixpoint
+in ``fill_hole`` is O(diameter) full-grid sweeps — for pathological
+spiral-shaped masks swap in a scanline BFS, same result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def fill_hole(mask: np.ndarray) -> np.ndarray:
+    """Fill interior holes of a binary mask (reference semantics:
+    wrapper.py:232-242). A hole is a zero-region with no 4-connected
+    path to the image border; the one-pixel pad makes the whole outside
+    a single seed region, exactly like the reference's padded canvas."""
+    m = np.asarray(mask) != 0
+    if m.ndim != 2 or m.size == 0:
+        return m.copy()
+    h, w = m.shape
+    free = np.ones((h + 2, w + 2), dtype=bool)
+    free[1:h + 1, 1:w + 1] = ~m
+    reach = np.zeros_like(free)
+    reach[[0, -1], :] = True
+    reach[:, [0, -1]] = True
+    while True:
+        grown = reach.copy()
+        grown[1:, :] |= reach[:-1, :]
+        grown[:-1, :] |= reach[1:, :]
+        grown[:, 1:] |= reach[:, :-1]
+        grown[:, :-1] |= reach[:, 1:]
+        grown &= free
+        if (grown == reach).all():
+            break
+        reach = grown
+    return ~reach[1:h + 1, 1:w + 1] | m
+
+
+def skeletonize(mask: np.ndarray) -> np.ndarray:
+    """Zhang-Suen two-subiteration thinning (the algorithm behind the
+    reference's skimage ``skeletonize`` call, wrapper.py:359): repeat
+    (north/east-biased pass, then south/west-biased pass) deleting
+    simple border pixels — 2 <= B(p) <= 6 neighbors, exactly one 0->1
+    transition around the ring, and the pass's two corner products
+    zero — until a fixpoint. Fully vectorized over the grid; each pass
+    applies its deletions simultaneously (the standard parallel
+    formulation)."""
+    img = (np.asarray(mask) != 0).astype(np.uint8)
+    if img.ndim != 2 or img.size == 0:
+        return img.astype(bool)
+    img = np.pad(img, 1)
+    changed = True
+    while changed:
+        changed = False
+        for step in (0, 1):
+            p = img
+            # ring neighbors, Zhang-Suen order: P2=N then clockwise
+            p2 = p[:-2, 1:-1]
+            p3 = p[:-2, 2:]
+            p4 = p[1:-1, 2:]
+            p5 = p[2:, 2:]
+            p6 = p[2:, 1:-1]
+            p7 = p[2:, :-2]
+            p8 = p[1:-1, :-2]
+            p9 = p[:-2, :-2]
+            center = p[1:-1, 1:-1]
+            ring = (p2, p3, p4, p5, p6, p7, p8, p9)
+            b = p2.astype(np.int8) + p3 + p4 + p5 + p6 + p7 + p8 + p9
+            a = np.zeros_like(b)
+            for i in range(8):
+                a += (ring[i] == 0) & (ring[(i + 1) % 8] == 1)
+            if step == 0:
+                c1 = (p2 * p4 * p6) == 0
+                c2 = (p4 * p6 * p8) == 0
+            else:
+                c1 = (p2 * p4 * p8) == 0
+                c2 = (p2 * p6 * p8) == 0
+            cond = ((center == 1) & (b >= 2) & (b <= 6) & (a == 1)
+                    & c1 & c2)
+            if cond.any():
+                img[1:-1, 1:-1][cond] = 0
+                changed = True
+    return img[1:-1, 1:-1].astype(bool)

@@ -1299,3 +1299,97 @@ def fourier_descriptor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return o.mapInPandas(run, schema=_FOURIER_OUT)
+
+
+# --- fill_hole mask morphology (textsnake/fcenet decode pixel path) ---------
+
+_FILL_OUT = T.StructType([
+    T.StructField("img_id", T.LongType(), False),
+    T.StructField("n_mask", T.LongType(), False),
+    T.StructField("n_filled", T.LongType(), False),
+    T.StructField("fill_checksum", T.LongType(), False),
+])
+
+
+@query(
+    "fill_holes_mask",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT o_orderkey AS img_id,
+               CAST(o_orderkey % 3 AS INT) AS x0,
+               CAST(o_orderkey % 2 AS INT) AS y0,
+               CAST(4 + o_orderkey % 4 AS INT) AS x1,
+               CAST(5 + o_orderkey % 3 AS INT) AS y1,
+               o_orderkey % 2 = 1 AS gap
+        FROM orders WHERE o_orderkey % 7 = 0),
+    cells AS (
+        SELECT img_id, r, c,
+               (((c = x0 OR c = x1) AND r BETWEEN y0 AND y1)
+                OR ((r = y0 OR r = y1) AND c BETWEEN x0 AND x1))
+               AND NOT (gap AND r = y0 + 1 AND c = x0) AS m
+        FROM base,
+             (SELECT unnest(generate_series(0, 7)) AS r),
+             (SELECT unnest(generate_series(0, 7)) AS c)),
+    reach AS (
+        SELECT img_id, r, c FROM cells
+        WHERE NOT m AND (r = 0 OR r = 7 OR c = 0 OR c = 7)
+        UNION
+        SELECT cl.img_id, cl.r, cl.c
+        FROM reach rc,
+             (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)) AS o(dr, dc)
+        JOIN cells cl
+          ON cl.img_id = rc.img_id AND cl.r = rc.r + o.dr
+         AND cl.c = rc.c + o.dc AND NOT cl.m),
+    filled AS (
+        SELECT cl.img_id, cl.r, cl.c, cl.m,
+               (cl.m OR rc.r IS NULL) AS f
+        FROM cells cl LEFT JOIN reach rc
+          ON rc.img_id = cl.img_id AND rc.r = cl.r AND rc.c = cl.c)
+    SELECT img_id,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+           CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN f THEN r * 8 + c + 1 ELSE 0 END)
+                AS BIGINT) AS fill_checksum
+    FROM filled GROUP BY img_id
+    """,
+)
+def fill_holes_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole filling on synthesized instance masks (the decode pixel step
+    of textsnake/fcenet: wrapper.py:232-242,349,435): per key, an 8x8
+    grid carries a rectangle ring — closed for even keys (interior is a
+    hole and must fill), broken by one pixel for odd keys (interior is
+    4-connected to the outside through the gap and must NOT fill). The
+    kernel runs the real border flood-fill (kernel/morphology.fill_hole);
+    the oracle re-derives reachability as a recursive-CTE BFS over free
+    cells seeded at the grid border, equi-joined on (img, r+dr, c+dc).
+    Counts and the positional checksum are exact integers. One narrow
+    mapInPandas over the scan; per-mask work is bounded (8x8)."""
+    from my_ocr_spark.kernel.morphology import fill_hole
+
+    o = (t(spark, sf_dir, "orders").select("o_orderkey")
+         .filter(F.col("o_orderkey") % 7 == 0))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.mgrid[0:8, 0:8]
+        wgt = rr * 8 + cc + 1
+        for pdf in batches:
+            out = {"img_id": [], "n_mask": [], "n_filled": [],
+                   "fill_checksum": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                x0, y0 = k % 3, k % 2
+                x1, y1 = 4 + k % 4, 5 + k % 3
+                ring = ((((cc == x0) | (cc == x1))
+                         & (rr >= y0) & (rr <= y1))
+                        | (((rr == y0) | (rr == y1))
+                           & (cc >= x0) & (cc <= x1)))
+                if k % 2 == 1:
+                    ring &= ~((rr == y0 + 1) & (cc == x0))
+                f = fill_hole(ring)
+                out["img_id"].append(k)
+                out["n_mask"].append(int(ring.sum()))
+                out["n_filled"].append(int(f.sum()))
+                out["fill_checksum"].append(int(wgt[f].sum()))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_FILL_OUT)

@@ -1,0 +1,115 @@
+"""fill_hole + Zhang-Suen skeletonize kernels (wrapper.py:232-242,359)."""
+
+import numpy as np
+
+from my_ocr_spark.kernel.morphology import fill_hole, skeletonize
+
+
+def _grid(lines):
+    return np.array([[ch == "#" for ch in row] for row in lines])
+
+
+def test_fill_hole_closed_ring():
+    m = np.zeros((8, 8), bool)
+    m[1, 1:6] = m[5, 1:6] = True
+    m[1:6, 1] = m[1:6, 5] = True
+    f = fill_hole(m)
+    assert f[2:5, 2:5].all()                  # interior filled
+    assert f.sum() == m.sum() + 9
+    assert (f[0, :] == 0).all() and (f[:, 6:] == 0).all()  # outside intact
+
+
+def test_fill_hole_broken_ring_connects_outside():
+    m = np.zeros((8, 8), bool)
+    m[1, 1:6] = m[5, 1:6] = True
+    m[1:6, 1] = m[1:6, 5] = True
+    m[1, 3] = False                           # one-pixel gap in the ring
+    assert (fill_hole(m) == m).all()          # 4-connected to outside
+
+
+def test_fill_hole_border_touching_cavity_not_filled():
+    # C-shape opening onto the image border: the cavity is outside
+    m = _grid(["#####",
+               "#...#",
+               "#...#",
+               "#...#",
+               "#...#"])                      # open bottom edge
+    assert (fill_hole(m) == m).all()
+
+
+def test_fill_hole_nested_and_diagonal():
+    # diagonal gap does NOT leak (4-connectivity, like cv2.floodFill)
+    m = _grid([".....",
+               ".###.",
+               ".#.#.",
+               ".###.",
+               "....."])
+    f = fill_hole(m)
+    assert f[2, 2]
+    assert f.sum() == m.sum() + 1
+
+
+def test_skeletonize_bar_golden():
+    bar = np.zeros((5, 9), bool)
+    bar[1:4, 1:8] = True
+    exp = _grid([".........",
+                 ".........",
+                 "..####...",
+                 ".........",
+                 "........."])
+    assert (skeletonize(bar) == exp).all()
+
+
+def test_skeletonize_block_golden():
+    blk = np.zeros((7, 7), bool)
+    blk[1:6, 1:6] = True
+    exp = np.zeros((7, 7), bool)
+    exp[3, 3] = True
+    assert (skeletonize(blk) == exp).all()
+
+
+def test_skeletonize_l_shape_golden():
+    L = np.zeros((9, 9), bool)
+    L[1:8, 1:4] = True
+    L[5:8, 1:8] = True
+    exp = _grid([".........",
+                 ".........",
+                 "..#......",
+                 "..#......",
+                 "..#......",
+                 "..#......",
+                 "..####...",
+                 ".........",
+                 "........."])
+    assert (skeletonize(L) == exp).all()
+
+
+def test_skeletonize_thin_line_unchanged():
+    m = np.zeros((5, 7), bool)
+    m[2, 1:6] = True
+    assert (skeletonize(m) == m).all()
+
+
+def test_morphology_properties_random():
+    rng = np.random.RandomState(0)
+    for _ in range(80):
+        m = rng.rand(12, 12) > 0.55
+        s = skeletonize(m)
+        assert (s <= m).all()                 # skeleton subset of mask
+        assert (skeletonize(s) == s).all()    # idempotent
+        f = fill_hole(m)
+        assert (f >= m).all()                 # fill only adds
+        assert (fill_hole(f) == f).all()      # idempotent
+        # no interior hole survives: refilling the complement's
+        # border-reachable set is exactly f (checked via idempotence
+        # above) and every added pixel was a non-border-reachable zero
+        assert not (f & ~m)[0, :].any() and not (f & ~m)[-1, :].any()
+        assert not (f & ~m)[:, 0].any() and not (f & ~m)[:, -1].any()
+
+
+def test_empty_and_degenerate():
+    assert fill_hole(np.zeros((0, 0), bool)).size == 0
+    assert skeletonize(np.zeros((0, 0), bool)).size == 0
+    one = np.ones((1, 1), bool)
+    assert fill_hole(one).all()
+    assert skeletonize(one).all()             # isolated pixel survives
