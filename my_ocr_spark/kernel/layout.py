@@ -45,12 +45,20 @@ def stitch_boxes_into_lines(boxes, max_x_dist: float = 10.0,
     (``box_util.py:42-117``): transitive same-line chaining, then split
     where the x-gap to the rightmost edge so far exceeds ``max_x_dist``.
     """
+    import heapq
+
     n = len(boxes)
     if n == 0:
         return []
-    order = sorted(range(n), key=lambda i: (boxes[i][0], boxes[i][1], i))
-    # transitive chaining into line groups (union-find over same-line pairs,
-    # restricted to x-neighbors like the reference's running scan)
+    # transitive chaining into line groups: union-find over same-line
+    # pairs, enumerated by a y-interval sweep instead of all pairs.
+    # is_on_same_line is False whenever the y-intervals don't strictly
+    # overlap, so only overlapping-interval pairs can contribute edges —
+    # sweeping boxes in y0 order against a y1-keyed active set visits
+    # exactly those pairs: O(n log n + overlapping_pairs) vs the old
+    # O(n²), same union-find closure (edge order is irrelevant, and
+    # linking max-root under min-root keeps each component's root = its
+    # min index either way).
     parent = list(range(n))
 
     def find(i):
@@ -64,11 +72,15 @@ def stitch_boxes_into_lines(boxes, max_x_dist: float = 10.0,
         if ri != rj:
             parent[max(ri, rj)] = min(ri, rj)
 
-    for ai in range(len(order)):
-        for bi in range(ai + 1, len(order)):
-            i, j = order[ai], order[bi]
+    active: list[tuple[float, int]] = []  # (y1, idx) min-heap
+    for i in sorted(range(n), key=lambda i: (boxes[i][1], i)):
+        y0 = boxes[i][1]
+        while active and active[0][0] <= y0:
+            heapq.heappop(active)  # y1 <= y0: no strict overlap, ever again
+        for _, j in active:
             if is_on_same_line(boxes[i], boxes[j], min_y_overlap_ratio):
                 union(i, j)
+        heapq.heappush(active, (boxes[i][3], i))
 
     groups: dict[int, list[int]] = {}
     for i in range(n):

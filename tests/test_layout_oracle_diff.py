@@ -115,3 +115,74 @@ def test_charpr_oracle_model_matches_difflib(seed):
         sm = SequenceMatcher(None, a, b, autojunk=False)
         want = sum(bl.size for bl in sm.get_matching_blocks())
         assert _clipped_runs_tp(a, b) == want, (a, b)
+
+
+def test_stitch_sweep_matches_all_pairs_union():
+    """Differential: the y-sweep edge enumeration must produce
+    byte-identical lines to the O(n²) all-pairs union it replaced, on
+    dense random pages (y-ties, zero-height boxes, nested intervals,
+    full-page columns included)."""
+    import random
+
+    from my_ocr_spark.kernel.layout import (
+        is_on_same_line, stitch_boxes_into_lines,
+    )
+
+    def stitch_reference(boxes, max_x_dist=10.0, min_y_overlap_ratio=0.8):
+        # the pre-sweep kernel, verbatim: all-pairs union + x-gap split
+        n = len(boxes)
+        if n == 0:
+            return []
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if is_on_same_line(boxes[i], boxes[j],
+                                   min_y_overlap_ratio):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        groups = {}
+        for i in range(n):
+            groups.setdefault(find(i), []).append(i)
+        lines = []
+        for members in groups.values():
+            members.sort(key=lambda i: (boxes[i][0], i))
+            segments = [[members[0]]]
+            right = boxes[members[0]][2]
+            for i in members[1:]:
+                if boxes[i][0] - right > max_x_dist:
+                    segments.append([i])
+                else:
+                    segments[-1].append(i)
+                right = max(right, boxes[i][2])
+            for seg in segments:
+                lines.append({
+                    "x0": min(boxes[i][0] for i in seg),
+                    "y0": min(boxes[i][1] for i in seg),
+                    "x1": max(boxes[i][2] for i in seg),
+                    "y1": max(boxes[i][3] for i in seg),
+                    "text": " ".join(boxes[i][4] for i in seg),
+                    "word_ids": seg,
+                })
+        lines.sort(key=lambda ln: (ln["y0"], ln["x0"]))
+        return lines
+
+    rng = random.Random(7)
+    for trial in range(80):
+        nb = rng.randrange(0, 70)
+        boxes = []
+        for b in range(nb):
+            x0 = rng.randrange(0, 200)
+            y0 = rng.choice([0, 4, 8, 12, 16]) + rng.random() * 2
+            h = rng.choice([0.0, 1.0, 3.0, 6.0, 20.0])
+            boxes.append((x0, y0, x0 + rng.randrange(5, 40), y0 + h,
+                          f"w{b}"))
+        assert stitch_boxes_into_lines(boxes) == stitch_reference(boxes), \
+            trial
