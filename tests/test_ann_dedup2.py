@@ -18,7 +18,7 @@ def test_ivf_ann_finds_near_copy(spark, emb16):
     from my_ocr_spark.operators.similarity import (
         cosine_topk, ivf_ann_topk, train_centroids_kmeans,
     )
-    cent = train_centroids_kmeans(emb16, n_centroids=4, sample_ids=64)
+    cent = train_centroids_kmeans(emb16, n_centroids=4, sample_n=64)
     assert cent.shape == (4, 16)
     out = ivf_ann_topk(emb16, emb16.filter(F.col("vec_id") == 0),
                        cent, k=3, n_probe=2)
@@ -188,3 +188,143 @@ def test_stateful_first_seen_urls_horizon_reemit(spark, tmp_path):
     assert ("u1", "a0") in got and ("u2", "b0") in got
     assert ("u2", "b31") in got          # idle past horizon → re-emitted
     assert ("u1", "a30") not in got and ("u1", "a31") not in got
+
+
+def test_codebook_sampling_sparse_id_space(spark):
+    """The codebook sample must be id-space independent: on sparse hash
+    ids (the realistic corpus case — nothing below any fixed threshold)
+    the hash-ordered rule still fills the sample, and it matches a
+    driver-side numpy replay of the same md5-order + Lloyd recipe."""
+    import hashlib
+
+    import numpy as np
+
+    from my_ocr_spark.operators.similarity import (
+        quantize_vecs, train_centroids_kmeans,
+    )
+
+    rng = np.random.RandomState(5)
+    ids = [10_000_019 * (i + 1) + 7_777_777 for i in range(40)]  # sparse
+    vecs = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"])
+
+    cent = train_centroids_kmeans(df, n_centroids=4, n_iter=3, sample_n=16)
+    assert cent.shape == (4, 8)
+
+    # numpy replay: 16 lowest by md5(str(id)), seed = first 4, 3 Lloyd
+    order = sorted(range(40),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))[:16]
+    x = quantize_vecs(vecs[order])
+    ref = x[:4].copy()
+    for _ in range(3):
+        d = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(4):
+            m = x[assign == c]
+            if len(m):
+                ref[c] = np.floor_divide(m.sum(axis=0), len(m))
+    assert np.array_equal(cent, ref)
+
+    # the old id-threshold rule would have sampled NOTHING here; the
+    # hash rule is also insensitive to adding a disjoint id range
+    shifted = spark.createDataFrame(
+        [(ids[i], [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"])
+    assert np.array_equal(
+        train_centroids_kmeans(shifted, n_centroids=4, n_iter=3,
+                               sample_n=16), cent)
+
+
+def test_dedup_group_state_bounded_by_horizon_window():
+    """Unit bound on the state body itself (docs/SCALE.md §7): after an
+    invocation with an advanced watermark, a group's kept entries are
+    EXACTLY the urls last seen inside the horizon window — crawl
+    history never accumulates."""
+    import numpy as np
+    import pandas as pd
+
+    from my_ocr_spark.streaming.stateful import _make_dedup_group
+
+    day = 86_400_000
+    horizon_ms = 7 * day
+    fn = _make_dedup_group(horizon_ms)
+
+    # batch 1: 5000 distinct urls spread over 30 days, no watermark yet
+    n = 5000
+    ts = pd.to_datetime([(i * 30 * day) // n for i in range(n)], unit="ms")
+    pdf = pd.DataFrame({"url": [f"u{i}" for i in range(n)],
+                        "warc_ts": ts, "text": "x",
+                        "_uh": np.arange(n, dtype=np.int64)})
+    st = _FakeState()
+    out1 = pd.concat(list(fn((0,), iter([pdf]), st)))
+    assert len(out1) == n                       # all first-seen
+    assert len(st.get[0]) == n                  # no wm → nothing evicted
+
+    # batch 2: watermark at day 23 → state must shrink to the urls last
+    # seen in [day 23, day 30] — and only fresh re-crawls emit
+    wm = 23 * day
+    st.wm = wm
+    in_window = int((ts.asi8 // 10**6 >= wm).sum())
+    re_ts = pd.to_datetime([31 * day] * 3, unit="ms")
+    pdf2 = pd.DataFrame({"url": ["u0", "u1", "u2"], "warc_ts": re_ts,
+                         "text": "y",
+                         "_uh": np.array([0, 1, 2], dtype=np.int64)})
+    out2 = pd.concat(list(fn((0,), iter([pdf2]), st)))
+    # u0-u2 were evicted (last seen day ~0 < wm) → re-emitted
+    assert sorted(out2["url"]) == ["u0", "u1", "u2"]
+    assert len(st.get[0]) == in_window + 3      # window survivors + re-adds
+    assert min(st.get[1]) >= wm                 # nothing older than wm kept
+
+
+def test_stateful_many_groups_bounded_state(spark, tmp_path):
+    """E2E at a realistic group count (n_groups=4096, >> the 32 shuffle
+    partitions): 12.5k events in three watermark-advancing batches —
+    re-crawls inside the horizon drop, idle-past-horizon re-emit, the
+    state store's total row count stays <= n_groups, and the run
+    completes at interactive speed (throughput must not collapse when
+    groups are multiplexed onto tasks)."""
+    import datetime as dt
+    import time
+
+    from my_ocr_spark.streaming.stateful import first_seen_urls
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    a = [(f"a{i}", t0, "x") for i in range(5000)]
+    b = [(f"b{i}", t0 + dt.timedelta(days=30), "x") for i in range(2500)]
+    c = ([(f"a{i}", t0 + dt.timedelta(days=40), "y") for i in range(5000)]
+         + [(f"b{i}", t0 + dt.timedelta(days=40), "y") for i in range(2500)])
+    for rows in (a, b, c):
+        (spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "text string")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    t_start = time.monotonic()
+    q = (first_seen_urls(stream, n_groups=4096, horizon="7 days")
+         .writeStream.format("memory").queryName("dedup_many")
+         .option("checkpointLocation", str(tmp_path / "ckpt_many"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    elapsed = time.monotonic() - t_start
+    rows = spark.sql("select url, text from dedup_many").collect()
+    n_a_first = sum(1 for r in rows if r.url.startswith("a")
+                    and r.text == "x")
+    n_b_first = sum(1 for r in rows if r.url.startswith("b")
+                    and r.text == "x")
+    n_a_reemit = sum(1 for r in rows if r.url.startswith("a")
+                     and r.text == "y")
+    n_b_reemit = sum(1 for r in rows if r.url.startswith("b")
+                     and r.text == "y")
+    assert (n_a_first, n_b_first) == (5000, 2500)
+    # batch 3: a* idle 40d > horizon (wm = day 23 by then) → re-emit;
+    # b* last seen day 30 >= wm → refreshed silently
+    assert (n_a_reemit, n_b_reemit) == (5000, 0)
+    prog = q.lastProgress
+    state_rows = prog["stateOperators"][0]["numRowsTotal"]
+    assert state_rows <= 4096                   # one row per ACTIVE group
+    assert elapsed < 120, elapsed               # no per-group collapse
