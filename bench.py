@@ -77,6 +77,8 @@ def main() -> None:
         "minhash_lsh_candidates",   # LSH dedup (pandas UDF + band join)
         "pdf_reading_order",        # layout branch (streaming grouped map)
         "interval_range_join",      # banded range join (sparse overlaps)
+        "semantic_dedup_keep",      # SemDeDup: codebook + cell-local pairs
+        "duplicate_span_pairs",     # Lee-et-al. substring-span dedup
     ]
     # best-of-2 per query: the sandbox host has measured noise waves
     # (an untouched pure-JVM query swung 0.62→2.07 s minutes apart —

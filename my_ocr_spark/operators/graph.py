@@ -31,6 +31,14 @@ def connected_components(edges: DataFrame, src: str = "src",
               .union(edges.select(F.col(dst).alias("a"),
                                   F.col(src).alias("b")))
               .distinct())
+    # materialize the edge set ONCE: the loop below references e every
+    # iteration, and without lineage truncation Spark would re-execute
+    # the caller's whole edge derivation (e.g. SemDeDup's assign +
+    # bucket self-join + cosine folds) per iteration — measured 17 s vs
+    # 3 s at sf0.1. Same rationale as the labels checkpoint; at cluster
+    # scale swap localCheckpoint for a reliable checkpoint dir if
+    # executor loss during the loop must be survivable.
+    e = e.localCheckpoint(eager=True)
     labels = (e.select(F.col("a").alias("node"))
                .distinct()
                .withColumn("component", F.col("node")))

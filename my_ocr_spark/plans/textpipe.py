@@ -1170,12 +1170,21 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                            " + CAST(0.05 AS DOUBLE)), slice(v, 2, 63))")
                      .alias("v")))
     corpus = base.unionAll(scaled).unionAll(pert)
+    # materialize once: corpus feeds four consumers (codebook sample,
+    # cell assignment, both sides of the pair self-join, final keep
+    # join) and nv two — without truncation each consumer re-runs the
+    # synthesis + 64-dim HOF transforms (no CSE across consumers).
+    # SemDeDup at corpus scale does the same thing deliberately: the
+    # embedding+assignment table is THE materialization point of the
+    # pipeline (one write, k consumers), not a recomputable view.
+    corpus = corpus.localCheckpoint(eager=True)
     cent = train_centroids_kmeans(corpus, n_centroids=16, sample_n=1024,
                                   vec_col="v")
     cells = ivf_assign(corpus, cent, vec_col="v")
     nv = (corpus.join(cells, corpus.vec_id == cells.vid)
           .select("vec_id", "v", "bucket")
           .withColumn("nrm", F.sqrt(_dot("v", "v"))))
+    nv = nv.localCheckpoint(eager=True)
     a, b = nv.alias("a"), nv.alias("b")
     edges = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
