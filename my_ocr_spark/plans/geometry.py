@@ -1393,3 +1393,148 @@ def fill_holes_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_FILL_OUT)
+
+
+# --- Zhang-Suen skeletonize (textsnake decode center-line path) -------------
+
+_SKEL_OUT = T.StructType([
+    T.StructField("img_id", T.LongType(), False),
+    T.StructField("n_in", T.LongType(), False),
+    T.StructField("n_skel", T.LongType(), False),
+    T.StructField("skel_checksum", T.LongType(), False),
+])
+
+_SKEL_PASSES = 5  # unroll depth; kernel convergence within it is pytest-pinned
+
+
+def _skel_mask_numpy(k: int, rr: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Key-derived 8x8 fixture masks: thick bar / solid block / L-shape —
+    the three shapes textsnake center-masks degenerate to. Mirrored
+    exactly by the SQL mask expression in _skeletonize_oracle."""
+    fam = k % 3
+    if fam == 0:
+        r0, c0 = k % 4, k % 2
+        return ((rr >= r0) & (rr <= r0 + 2) & (cc >= c0) & (cc <= c0 + 5))
+    if fam == 1:
+        s = 3 + k % 2
+        return (rr >= 1) & (rr <= 1 + s) & (cc >= 2) & (cc <= 2 + s)
+    c0 = k % 3
+    return (((cc >= c0) & (cc <= c0 + 1) & (rr >= 1) & (rr <= 6))
+            | ((rr >= 5) & (rr <= 6) & (cc >= c0) & (cc <= c0 + 4)))
+
+
+def _skeletonize_oracle(passes: int = _SKEL_PASSES) -> str:
+    """DuckDB replay of the FULL Zhang-Suen algorithm: the 8x8 grid is a
+    64-int list column; each unrolled subiteration recomputes every cell
+    from its ring neighbors (same B / A / corner-product conditions,
+    same simultaneous application), two sub-steps per pass. ``passes``
+    exceeds the fixture family's convergence depth (pytest-pinned), and
+    converged grids are fixpoints of further sub-steps, so the unroll
+    equals the kernel's run-to-quiescence loop."""
+    def nb(dr: int, dc: int) -> str:
+        # neighbor value with zero border (i is 1-based; r=(i-1)//8)
+        return (f"(CASE WHEN r + ({dr}) BETWEEN 0 AND 7 "
+                f"AND c + ({dc}) BETWEEN 0 AND 7 "
+                f"THEN g[(r + ({dr})) * 8 + c + ({dc}) + 1] "
+                f"ELSE 0 END)")
+
+    ring = [nb(-1, 0), nb(-1, 1), nb(0, 1), nb(1, 1),
+            nb(1, 0), nb(1, -1), nb(0, -1), nb(-1, -1)]  # p2..p9
+    b_expr = " + ".join(ring)
+    a_expr = " + ".join(
+        f"(CASE WHEN {ring[i]} = 0 AND {ring[(i + 1) % 8]} = 1 "
+        f"THEN 1 ELSE 0 END)" for i in range(8))
+    levels = []
+    prev = "g0"
+    n = 0
+    for _ in range(passes):
+        for step in (0, 1):
+            n += 1
+            if step == 0:
+                corner = (f"({ring[0]} * {ring[2]} * {ring[4]} = 0) "
+                          f"AND ({ring[2]} * {ring[4]} * {ring[6]} = 0)")
+            else:
+                corner = (f"({ring[0]} * {ring[2]} * {ring[6]} = 0) "
+                          f"AND ({ring[0]} * {ring[4]} * {ring[6]} = 0)")
+            levels.append(f"""
+    g{n} AS (
+        SELECT img_id, list(v ORDER BY i) AS g FROM (
+            SELECT img_id, i,
+                   CASE WHEN g[i] = 1 AND ({b_expr}) BETWEEN 2 AND 6
+                             AND ({a_expr}) = 1 AND {corner}
+                        THEN 0 ELSE g[i] END AS v
+            FROM (SELECT img_id, g, (i - 1) // 8 AS r, (i - 1) % 8 AS c, i
+                  FROM (SELECT img_id, g,
+                               unnest(generate_series(1, 64)) AS i
+                        FROM {prev})))
+        GROUP BY img_id)""")
+            prev = f"g{n}"
+    chain = ",".join(levels)
+    mask = """
+        CASE WHEN k % 3 = 0 THEN
+                 CASE WHEN r BETWEEN k % 4 AND k % 4 + 2
+                           AND c BETWEEN k % 2 AND k % 2 + 5
+                      THEN 1 ELSE 0 END
+             WHEN k % 3 = 1 THEN
+                 CASE WHEN r BETWEEN 1 AND 4 + k % 2
+                           AND c BETWEEN 2 AND 5 + k % 2
+                      THEN 1 ELSE 0 END
+             ELSE
+                 CASE WHEN (c BETWEEN k % 3 AND k % 3 + 1
+                            AND r BETWEEN 1 AND 6)
+                           OR (r BETWEEN 5 AND 6
+                               AND c BETWEEN k % 3 AND k % 3 + 4)
+                      THEN 1 ELSE 0 END
+        END"""
+    return f"""
+    WITH keys AS (SELECT o_orderkey AS img_id, o_orderkey AS k
+                  FROM orders WHERE o_orderkey % 31 = 0),
+    g0 AS (
+        SELECT img_id, list({mask} ORDER BY i) AS g FROM (
+            SELECT img_id, k, i, (i - 1) // 8 AS r, (i - 1) % 8 AS c
+            FROM (SELECT img_id, k, unnest(generate_series(1, 64)) AS i
+                  FROM keys))
+        GROUP BY img_id),
+    {chain}
+    SELECT a.img_id,
+           CAST(list_aggregate(a.g, 'sum') AS BIGINT) AS n_in,
+           CAST(list_aggregate(z.g, 'sum') AS BIGINT) AS n_skel,
+           CAST((SELECT sum(CASE WHEN z.g[i] = 1 THEN i ELSE 0 END)
+                 FROM unnest(generate_series(1, 64)) AS t(i))
+                AS BIGINT) AS skel_checksum
+    FROM g0 a JOIN {prev} z USING (img_id)
+    """
+
+
+@query("skeletonize_masks", oracle=_skeletonize_oracle())
+def skeletonize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zhang-Suen thinning on synthesized instance masks (the
+    textsnake_decode center-line step, wrapper.py:359): bars, blocks and
+    L-shapes keyed off orders, thinned by the real kernel
+    (kernel/morphology.skeletonize, run to quiescence); the oracle
+    unrolls the SAME two-subiteration parallel algorithm as chained SQL
+    grid levels (5 passes — beyond the fixture family's convergence,
+    which test_morphology pins). Counts and positional checksum are
+    exact integers; one narrow mapInPandas over the scan."""
+    from my_ocr_spark.kernel.morphology import skeletonize
+
+    o = (t(spark, sf_dir, "orders").select("o_orderkey")
+         .filter(F.col("o_orderkey") % 31 == 0))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.mgrid[0:8, 0:8]
+        wgt = rr * 8 + cc + 1
+        for pdf in batches:
+            out = {"img_id": [], "n_in": [], "n_skel": [],
+                   "skel_checksum": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                m = _skel_mask_numpy(k, rr, cc)
+                s = skeletonize(m)
+                out["img_id"].append(k)
+                out["n_in"].append(int(m.sum()))
+                out["n_skel"].append(int(s.sum()))
+                out["skel_checksum"].append(int(wgt[s].sum()))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_SKEL_OUT)

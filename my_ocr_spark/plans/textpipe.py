@@ -1238,3 +1238,144 @@ def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.slice(toks, 1, 8),
                         lambda x: F.replace(x, F.lit(" "), F.lit("_"))),
             "|").alias("first_tokens"))
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin of gopher_repetition_filters: same normalized word
+    stream, same three gram statistics, same integer threshold gates."""
+    return f"""
+    WITH d0 AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+        FROM documents WHERE length(text) > 0
+    ),
+    d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0
+                    THEN w || flatten(list_transform(
+                             generate_series(1, 8), i -> w[1:5]))
+                    ELSE w END AS w
+        FROM d0
+    ),
+    uni AS (
+        SELECT doc_id, CAST(any_value(n_words) AS BIGINT) AS n_words,
+               CAST(max(cnt) AS BIGINT) AS top_word_n
+        FROM (SELECT doc_id, n_words, g, count(*) AS cnt
+              FROM (SELECT doc_id, len(w) AS n_words, unnest(w) AS g
+                    FROM d)
+              GROUP BY doc_id, n_words, g)
+        GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(max(cnt) AS BIGINT) AS top_bigram_n
+        FROM (SELECT doc_id, g, count(*) AS cnt
+              FROM (SELECT doc_id,
+                           w[i] || ' ' || w[i + 1] AS g
+                    FROM (SELECT doc_id, w,
+                                 unnest(generate_series(1, len(w) - 1))
+                                     AS i
+                          FROM d WHERE len(w) >= 2))
+              GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    five AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_5grams,
+               CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS n_dup_5gram_pos
+        FROM (SELECT doc_id, g, count(*) AS cnt
+              FROM (SELECT doc_id,
+                           md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+                    FROM (SELECT doc_id, w,
+                                 unnest(generate_series(1, len(w) - 4))
+                                     AS i
+                          FROM d WHERE len(w) >= 5))
+              GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_words, u.top_word_n,
+           coalesce(b.n_bigrams, 0) AS n_bigrams,
+           coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+           coalesce(f.n_5grams, 0) AS n_5grams,
+           coalesce(f.n_dup_5gram_pos, 0) AS n_dup_5gram_pos,
+           (u.top_word_n * 100 <= 30 * u.n_words
+            AND coalesce(b.top_bigram_n, 0) * 100
+                <= 20 * coalesce(b.n_bigrams, 0)
+            AND coalesce(f.n_dup_5gram_pos, 0) * 100
+                <= 30 * coalesce(f.n_5grams, 0))
+               AS keep
+    FROM uni u LEFT JOIN bi b USING (doc_id)
+               LEFT JOIN five f USING (doc_id)
+    """
+
+
+@query("gopher_repetition_filters", oracle=_gopher_oracle())
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    appendix A1.1 — the standard LLM-corpus repetition gates), word-level
+    on the normalized stream: top-word fraction (<=0.30), top-bigram
+    fraction (<=0.20), duplicate-5-gram position fraction (<=0.30 — the
+    word-level analog of the duplicate-n-gram character fraction).
+    Counts emitted as exact integers, the keep gate as pure integer
+    comparisons — zero float rounding cross-engine. Plan: three
+    combiner-friendly (doc, gram)->doc aggregations joined on doc_id;
+    gram synthesis is O(words) per doc via element_at (never
+    array_join(slice(...)) — no CSE through HOF lambdas). Docs missing
+    bigrams/5-grams pass those gates vacuously."""
+    d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+         .select("doc_id",
+                 F.split(normalized_col("text"), " ").alias("w0")))
+    # plant deterministic boilerplate in every 17th doc (first 5 words
+    # repeated 8x, mirrored in the oracle) so the duplicate-5-gram gate
+    # demonstrably FIRES at the paper threshold on this corpus — the
+    # synthetic documents are otherwise too clean to trip any gate
+    d = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0,
+               F.concat("w0", F.flatten(F.array_repeat(
+                   F.slice("w0", 1, 5), 8))))
+         .otherwise(F.col("w0")).alias("w"))
+    uni = (d.select("doc_id", F.size("w").alias("n_words"),
+                    F.explode("w").alias("g"))
+           .groupBy("doc_id", "n_words", "g").count()
+           .groupBy("doc_id", "n_words")
+           .agg(F.max("count").alias("top_word_n")))
+    bi = (d.filter(F.size("w") >= 2)
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(w) - 1),"
+              " i -> concat(element_at(w, i), ' ',"
+              " element_at(w, i + 1)))")).alias("g"))
+          .groupBy("doc_id", "g").count()
+          .groupBy("doc_id")
+          .agg(F.sum("count").alias("n_bigrams"),
+               F.max("count").alias("top_bigram_n")))
+    five = (d.filter(F.size("w") >= 5)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> md5(concat(element_at(w, i), ' ',"
+                " element_at(w, i + 1), ' ', element_at(w, i + 2), ' ',"
+                " element_at(w, i + 3), ' ', element_at(w, i + 4))))"))
+                .alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id")
+            .agg(F.sum("count").alias("n_5grams"),
+                 F.sum(F.when(F.col("count") > 1, F.col("count"))
+                       .otherwise(0)).alias("n_dup_5gram_pos")))
+    out = (uni.join(bi, "doc_id", "left").join(five, "doc_id", "left"))
+    nb = F.coalesce("n_bigrams", F.lit(0))
+    tb = F.coalesce("top_bigram_n", F.lit(0))
+    n5 = F.coalesce("n_5grams", F.lit(0))
+    d5 = F.coalesce("n_dup_5gram_pos", F.lit(0))
+    # docs without bigrams/5-grams pass vacuously: 0 <= 0
+    keep = ((F.col("top_word_n") * 100 <= 30 * F.col("n_words"))
+            & (tb * 100 <= 20 * nb)
+            & (d5 * 100 <= 30 * n5))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("top_word_n").cast("bigint").alias("top_word_n"),
+        nb.cast("bigint").alias("n_bigrams"),
+        tb.cast("bigint").alias("top_bigram_n"),
+        n5.cast("bigint").alias("n_5grams"),
+        d5.cast("bigint").alias("n_dup_5gram_pos"),
+        keep.alias("keep"))

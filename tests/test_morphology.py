@@ -113,3 +113,44 @@ def test_empty_and_degenerate():
     one = np.ones((1, 1), bool)
     assert fill_hole(one).all()
     assert skeletonize(one).all()             # isolated pixel survives
+
+
+def test_skeletonize_fixture_family_converges_within_unroll():
+    """The skeletonize_masks oracle unrolls _SKEL_PASSES Zhang-Suen
+    passes; the kernel loops to quiescence. Equality requires every
+    fixture mask to converge within the unroll — pin it by replaying
+    bounded passes here for a dense key sweep."""
+    import numpy as np
+
+    from my_ocr_spark.plans.geometry import _SKEL_PASSES, _skel_mask_numpy
+
+    def one_subiter(img, step):
+        p = np.pad(img, 1)
+        ring = [p[:-2, 1:-1], p[:-2, 2:], p[1:-1, 2:], p[2:, 2:],
+                p[2:, 1:-1], p[2:, :-2], p[1:-1, :-2], p[:-2, :-2]]
+        center = p[1:-1, 1:-1]
+        b = sum(r.astype(np.int8) for r in ring)
+        a = sum(((ring[i] == 0) & (ring[(i + 1) % 8] == 1))
+                for i in range(8))
+        if step == 0:
+            c1 = (ring[0] * ring[2] * ring[4]) == 0
+            c2 = (ring[2] * ring[4] * ring[6]) == 0
+        else:
+            c1 = (ring[0] * ring[2] * ring[6]) == 0
+            c2 = (ring[0] * ring[4] * ring[6]) == 0
+        cond = (center == 1) & (b >= 2) & (b <= 6) & (a == 1) & c1 & c2
+        out = img.copy()
+        out[cond] = 0
+        return out
+
+    rr, cc = np.mgrid[0:8, 0:8]
+    for k in range(0, 1000, 7):
+        g = _skel_mask_numpy(k, rr, cc).astype(np.uint8)
+        for _ in range(_SKEL_PASSES):
+            for step in (0, 1):
+                g = one_subiter(g, step)
+        # one more full pass must be a no-op (converged within unroll)
+        assert (one_subiter(one_subiter(g, 0), 1) == g).all(), k
+        from my_ocr_spark.kernel.morphology import skeletonize
+        assert (skeletonize(_skel_mask_numpy(k, rr, cc))
+                == g.astype(bool)).all(), k
