@@ -1335,6 +1335,12 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat("w0", F.flatten(F.array_repeat(
                    F.slice("w0", 1, 5), 8))))
          .otherwise(F.col("w0")).alias("w"))
+    # normalize+split feeds three independent aggregations (uni/bi/five
+    # are join children — Spark does no CSE across them); materialize
+    # the word table once instead of paying the regex normalization 3x
+    # per execution — the same multi-consumer rationale as SemDeDup's
+    # corpus checkpoint above
+    d = d.localCheckpoint(eager=True)
     uni = (d.select("doc_id", F.size("w").alias("n_words"),
                     F.explode("w").alias("g"))
            .groupBy("doc_id", "n_words", "g").count()

@@ -228,14 +228,12 @@ def test_codebook_sampling_sparse_id_space(spark):
                 ref[c] = np.floor_divide(m.sum(axis=0), len(m))
     assert np.array_equal(cent, ref)
 
-    # the old id-threshold rule would have sampled NOTHING here; the
-    # hash rule is also insensitive to adding a disjoint id range
-    shifted = spark.createDataFrame(
-        [(ids[i], [float(x) for x in vecs[i]]) for i in range(40)],
-        ["vec_id", "embedding"])
+    # the codebook is a pure function of the data, not of the physical
+    # plan: any repartitioning (which reorders what limit+collect sees
+    # before the driver-side re-sort) yields the identical codebook
     assert np.array_equal(
-        train_centroids_kmeans(shifted, n_centroids=4, n_iter=3,
-                               sample_n=16), cent)
+        train_centroids_kmeans(df.repartition(7), n_centroids=4,
+                               n_iter=3, sample_n=16), cent)
 
 
 def test_dedup_group_state_bounded_by_horizon_window():
