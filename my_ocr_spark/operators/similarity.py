@@ -161,6 +161,8 @@ def train_centroids_kmeans(df: DataFrame, n_centroids: int = 16,
                       F.col(vec_col).alias("_v"))
               .withColumn("_h", F.md5(F.col("_id").cast("string")))
               .orderBy("_h", "_id").limit(sample_n).collect())
+    if not rows:
+        raise ValueError("train_centroids_kmeans: empty input corpus")
     # re-sort driver-side so the codebook never depends on plan quirks
     rows.sort(key=lambda r: (r["_h"], r["_id"]))
     x = quantize_vecs(np.stack([np.asarray(r["_v"], dtype=np.float64)

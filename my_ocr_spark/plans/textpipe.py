@@ -1385,3 +1385,50 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n5.cast("bigint").alias("n_5grams"),
         d5.cast("bigint").alias("n_dup_5gram_pos"),
         keep.alias("keep"))
+
+
+@query(
+    "source_mixing_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs, n_chars,
+               sqrt(CAST(n_docs AS DOUBLE)) AS raw_w
+        FROM s
+    )
+    SELECT source, n_docs, n_chars,
+           floor(raw_w / (SELECT sum(raw_w) FROM w) * 1e6 + 0.5)
+               / CAST(1e6 AS DOUBLE) AS mix_share,
+           CAST(floor(raw_w / (SELECT max(raw_w) FROM w) * n_docs + 0.5)
+                AS BIGINT) AS target_docs
+    FROM w
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weights (the multinomial
+    source-sampling of XLM-R / mT5: p_i ∝ n_i^alpha with alpha = 0.5 so
+    low-resource sources are up-weighted): per source, the raw sqrt
+    weight, its normalized mix share, and the rebalanced target doc
+    count. alpha is fixed at 0.5 because sqrt is correctly rounded in
+    IEEE-754 on both engines — pow(x, 0.3) is not, so an arbitrary
+    temperature would need quantized replay; the share is floor-half-up
+    rounded at 6dp on both sides (sums of sqrt values are
+    order-dependent at the last ulp). One groupBy shuffle; the
+    normalizing sum is a broadcast scalar."""
+    d = t(spark, sf_dir, "documents")
+    s = (d.groupBy("source")
+         .agg(F.count("*").cast("bigint").alias("n_docs"),
+              F.sum(F.length("text")).cast("bigint").alias("n_chars")))
+    w = s.withColumn("raw_w", F.sqrt(F.col("n_docs").cast("double")))
+    tot = w.agg(F.sum("raw_w").alias("t"), F.max("raw_w").alias("m"))
+    out = w.crossJoin(F.broadcast(tot))
+    return out.select(
+        "source", "n_docs", "n_chars",
+        (F.floor(F.col("raw_w") / F.col("t") * 1e6 + 0.5)
+         / F.lit(1e6)).alias("mix_share"),
+        F.floor(F.col("raw_w") / F.col("m") * F.col("n_docs") + 0.5)
+         .cast("bigint").alias("target_docs"))

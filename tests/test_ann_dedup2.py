@@ -326,3 +326,23 @@ def test_stateful_many_groups_bounded_state(spark, tmp_path):
     state_rows = prog["stateOperators"][0]["numRowsTotal"]
     assert state_rows <= 4096                   # one row per ACTIVE group
     assert elapsed < 120, elapsed               # no per-group collapse
+
+
+def test_codebook_empty_and_tiny_corpus(spark):
+    """Degenerate inputs: empty corpus raises a clear error; a corpus
+    smaller than n_centroids yields a codebook with one row per vector
+    (every cell seeded) instead of crashing."""
+    import numpy as np
+    import pytest as pt
+
+    from my_ocr_spark.operators.similarity import train_centroids_kmeans
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pt.raises(ValueError, match="empty"):
+        train_centroids_kmeans(empty, n_centroids=4)
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"])
+    cent = train_centroids_kmeans(tiny, n_centroids=4, n_iter=2)
+    assert cent.shape == (2, 2)
+    assert np.isfinite(cent).all()

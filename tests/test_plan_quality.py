@@ -194,3 +194,29 @@ def test_minhash_verify_stage_is_jvm_side(spark, sf_dir):
     # verify itself is codegen — no grouped-map or row-at-a-time UDF
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_pixel_kernel_queries_are_narrow(spark, sf_dir):
+    """The three per-row pixel/shape oracle queries (Fourier roundtrip,
+    hole filling, skeletonize) must stay a single narrow mapInPandas
+    over the scan — no exchange, no join: per-mask work never needs
+    other rows."""
+    from my_ocr_spark.plans.geometry import (
+        fill_holes_mask, fourier_descriptor_roundtrip, skeletonize_masks,
+    )
+    for q in (fourier_descriptor_roundtrip, fill_holes_mask,
+              skeletonize_masks):
+        plan = _physical_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, (q.__name__, plan)
+        assert "Join" not in plan, (q.__name__, plan)
+        assert plan.count("MapInPandas") == 1, (q.__name__, plan)
+
+
+def test_gopher_filters_single_normalize_pass(spark, sf_dir):
+    """gopher_repetition_filters materializes the normalized word table
+    once (localCheckpoint): the executed plan must scan the checkpoint,
+    not re-run the documents scan + regex per aggregation branch."""
+    from my_ocr_spark.plans.textpipe import gopher_repetition_filters
+    plan = _physical_plan(gopher_repetition_filters(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan        # the checkpoint
+    assert plan.count("Scan parquet") == 0, plan   # no re-read per branch
