@@ -7,15 +7,51 @@ Reference analogs (semantics, not code):
 * ``skeletonize`` (``wrapper.py:12,359``): skimage Zhang-Suen thinning of
   per-instance center masks in textsnake_decode.
 
-Pure numpy, no cv2/skimage (absent in this environment). Masks here are
-per-text-instance crops (bounded, small); the vectorized frontier fixpoint
-in ``fill_hole`` is O(diameter) full-grid sweeps — for pathological
-spiral-shaped masks swap in a scanline BFS, same result.
+Pure numpy, no cv2/skimage (absent in this environment). ``fill_hole``
+uses a scanline flood fill — O(area) regardless of mask shape, so
+page-scale masks with long corridors (spirals, nested frames) cost the
+same as convex blobs; the O(diameter·area) vectorized frontier fixpoint
+it replaced survives as the differential reference in
+tests/test_morphology.py.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def _reach_from_border(free: np.ndarray) -> np.ndarray:
+    """Scanline flood fill over ``free`` cells, seeded at (0, 0) (the
+    caller guarantees a connected all-free border ring): pop a seed,
+    extend its maximal free run left/right, mark it, then push one seed
+    per unvisited free run in the rows above/below. Each cell is
+    visited O(1) times → O(area) total."""
+    h, w = free.shape
+    reach = np.zeros_like(free)
+    stack = [(0, 0)]
+    while stack:
+        r, c = stack.pop()
+        if reach[r, c] or not free[r, c]:
+            continue
+        c0 = c
+        while c0 > 0 and free[r, c0 - 1] and not reach[r, c0 - 1]:
+            c0 -= 1
+        c1 = c
+        while c1 + 1 < w and free[r, c1 + 1] and not reach[r, c1 + 1]:
+            c1 += 1
+        reach[r, c0:c1 + 1] = True
+        for rn in (r - 1, r + 1):
+            if 0 <= rn < h:
+                row = free[rn, c0:c1 + 1] & ~reach[rn, c0:c1 + 1]
+                if row.any():
+                    # one seed per run: a cell whose left neighbor
+                    # (within the window) is not a candidate
+                    idx = np.flatnonzero(row)
+                    starts = idx[np.concatenate(
+                        ([True], np.diff(idx) > 1))]
+                    for s in starts:
+                        stack.append((rn, c0 + int(s)))
+    return reach
 
 
 def fill_hole(mask: np.ndarray) -> np.ndarray:
@@ -29,19 +65,7 @@ def fill_hole(mask: np.ndarray) -> np.ndarray:
     h, w = m.shape
     free = np.ones((h + 2, w + 2), dtype=bool)
     free[1:h + 1, 1:w + 1] = ~m
-    reach = np.zeros_like(free)
-    reach[[0, -1], :] = True
-    reach[:, [0, -1]] = True
-    while True:
-        grown = reach.copy()
-        grown[1:, :] |= reach[:-1, :]
-        grown[:-1, :] |= reach[1:, :]
-        grown[:, 1:] |= reach[:, :-1]
-        grown[:, :-1] |= reach[:, 1:]
-        grown &= free
-        if (grown == reach).all():
-            break
-        reach = grown
+    reach = _reach_from_border(free)
     return ~reach[1:h + 1, 1:w + 1] | m
 
 

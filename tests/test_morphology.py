@@ -154,3 +154,69 @@ def test_skeletonize_fixture_family_converges_within_unroll():
         from my_ocr_spark.kernel.morphology import skeletonize
         assert (skeletonize(_skel_mask_numpy(k, rr, cc))
                 == g.astype(bool)).all(), k
+
+
+def test_fill_hole_scanline_matches_frontier_reference():
+    """Differential: the O(area) scanline flood fill must equal the
+    O(diameter·area) vectorized frontier fixpoint it replaced, on dense
+    random masks and on a long spiral corridor (the shape the scanline
+    rewrite exists for)."""
+    import numpy as np
+
+    def fill_reference(mask):
+        m = np.asarray(mask) != 0
+        h, w = m.shape
+        free = np.ones((h + 2, w + 2), dtype=bool)
+        free[1:h + 1, 1:w + 1] = ~m
+        reach = np.zeros_like(free)
+        reach[[0, -1], :] = True
+        reach[:, [0, -1]] = True
+        while True:
+            grown = reach.copy()
+            grown[1:, :] |= reach[:-1, :]
+            grown[:-1, :] |= reach[1:, :]
+            grown[:, 1:] |= reach[:, :-1]
+            grown[:, :-1] |= reach[:, 1:]
+            grown &= free
+            if (grown == reach).all():
+                break
+            reach = grown
+        return ~reach[1:h + 1, 1:w + 1] | m
+
+    rng = np.random.RandomState(3)
+    for density in (0.3, 0.5, 0.7):
+        for _ in range(25):
+            m = rng.rand(20, 20) < density
+            assert (fill_hole(m) == fill_reference(m)).all()
+
+    # spiral: walls every other ring, one corridor connecting everything
+    n = 41
+    sp = np.zeros((n, n), bool)
+    for ring in range(1, n // 2, 2):
+        sp[ring, ring:n - ring] = True
+        sp[n - 1 - ring, ring:n - ring] = True
+        sp[ring:n - ring, ring] = True
+        sp[ring:n - ring, n - 1 - ring] = True
+        sp[ring, ring + 1] = False          # gap -> corridor into ring
+    assert (fill_hole(sp) == fill_reference(sp)).all()
+
+
+def test_fill_hole_scanline_scales_linearly():
+    """A 400x400 nested-frames mask (worst case for the old frontier
+    sweep) completes fast — the scanline pass is O(area)."""
+    import time
+
+    import numpy as np
+
+    n = 400
+    m = np.zeros((n, n), bool)
+    for ring in range(2, n // 2 - 2, 4):
+        m[ring, ring:n - ring] = True
+        m[n - 1 - ring, ring:n - ring] = True
+        m[ring:n - ring, ring] = True
+        m[ring:n - ring, n - 1 - ring] = True
+    t0 = time.monotonic()
+    f = fill_hole(m)
+    assert time.monotonic() - t0 < 2.0
+    # closed nested rings: everything inside the outermost ring fills
+    assert f[2:n - 2, 2:n - 2].all()
