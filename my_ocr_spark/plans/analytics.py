@@ -793,3 +793,97 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words", "stop_ratio",
         F.when(good, "good").otherwise("low").alias("quality_bucket"),
         (F.col("is_canonical") & good).alias("keep"))
+
+
+def _mix_report_oracle() -> str:
+    """DuckDB twin of curation_mix_report: the closed-form extraction
+    (same CTEs as the extract_maincontent oracle), the shared Gopher
+    CTE chain (textpipe._gopher_ctes) over the extracted text, then the
+    per-source rollup + sqrt-temperature mix shares."""
+    from my_ocr_spark.plans.textpipe import (
+        _GOPHER_PLANT_SQL, _NORM_SQL, _gopher_ctes,
+    )
+
+    return f"""
+    WITH {_EXTRACT_CTES},
+    extracted2 AS (
+        SELECT doc_id, source,
+               coalesce(string_agg(chunk, chr(10) || chr(10)
+                   ORDER BY chunk_id)
+                   FILTER (WHERE length(chunk) >= 25
+                           OR len(string_split(chunk, ' ')) >= 4), '')
+                   AS text
+        FROM chunks GROUP BY doc_id, source
+    ),
+    gd0 AS (
+        SELECT doc_id, source, length(text) AS n_chars,
+               string_split({_NORM_SQL}, ' ') AS w0
+        FROM extracted2 WHERE length(text) > 0
+    ),
+    gd AS ({_GOPHER_PLANT_SQL}
+        FROM gd0
+    ),
+    {_gopher_ctes('gd')},
+    j AS (
+        SELECT e.source, e.n_chars, gq.keep
+        FROM gq JOIN gd0 e USING (doc_id)
+    ),
+    rep AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_kept, kept_chars,
+           floor(sqrt(CAST(n_kept AS DOUBLE))
+                 / (SELECT sum(sqrt(CAST(n_kept AS DOUBLE))) FROM rep)
+                 * 1e6 + 0.5) / CAST(1e6 AS DOUBLE) AS mix_share
+    FROM rep
+    """
+
+
+@query("curation_mix_report", oracle=_mix_report_oracle())
+def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level curation report a pipeline owner reads before a
+    training run, composed END-TO-END as one DAG from the round's
+    building blocks: HTML extraction (the real kernel, byte-identical) →
+    Gopher repetition gates per document (gopher_counts, planted
+    boilerplate included so the gate visibly fires) → per-source keep
+    counts and kept-byte volume → sqrt-temperature mixing shares over
+    the KEPT docs (the source_mixing_weights math applied post-curation,
+    i.e. the weights training would actually use). Only the extraction
+    stage is Python; everything downstream is JVM column math, two
+    aggregation shuffles, and a broadcast scalar. Oracle: the
+    closed-form extraction CTEs composed with the shared Gopher CTE
+    chain and the exact-integer rollup."""
+    from my_ocr_spark.operators.dedup import normalized_col
+    from my_ocr_spark.plans.flagship import flagship_extract
+    from my_ocr_spark.plans.textpipe import gopher_counts, gopher_plant
+
+    ext = (flagship_extract(spark, sf_dir)
+           .select("url", "text").filter(F.length("text") > 0))
+    d0 = ext.select(
+        F.regexp_extract("url", r"/p/([0-9]+)$", 1).cast("bigint")
+         .alias("doc_id"),
+        F.regexp_extract("url", r"^https://([^.]+)\.example", 1)
+         .alias("source"),
+        F.length("text").alias("n_chars"),
+        F.split(normalized_col("text"), " ").alias("w0"))
+    g = gopher_counts(gopher_plant(d0.select("doc_id", "w0")))
+    j = (d0.select("doc_id", "source", "n_chars")
+         .join(g.select("doc_id", "keep"), "doc_id"))
+    rep = (j.groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(F.col("keep").cast("int")).cast("bigint")
+                 .alias("n_kept"),
+                F.sum(F.when(F.col("keep"), F.col("n_chars"))
+                      .otherwise(0)).cast("bigint").alias("kept_chars")))
+    w = rep.withColumn("raw_w", F.sqrt(F.col("n_kept").cast("double")))
+    tot = w.agg(F.sum("raw_w").alias("t"))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_kept", "kept_chars",
+                    (F.floor(F.col("raw_w") / F.col("t") * 1e6 + 0.5)
+                     / F.lit(1e6)).alias("mix_share")))

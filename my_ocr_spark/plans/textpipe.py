@@ -1240,28 +1240,17 @@ def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|").alias("first_tokens"))
 
 
-def _gopher_oracle() -> str:
-    """DuckDB twin of gopher_repetition_filters: same normalized word
-    stream, same three gram statistics, same integer threshold gates."""
-    return f"""
-    WITH d0 AS (
-        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
-        FROM documents WHERE length(text) > 0
-    ),
-    d AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 17 = 0
-                    THEN w || flatten(list_transform(
-                             generate_series(1, 8), i -> w[1:5]))
-                    ELSE w END AS w
-        FROM d0
-    ),
-    uni AS (
+def _gopher_ctes(word_cte: str) -> str:
+    """The Gopher repetition-counts CTE chain (uni/bi/five gram stats +
+    the per-doc gq row with the integer keep gate), reading (doc_id, w)
+    from ``word_cte`` — shared by the standalone oracle and the
+    curation_mix_report composition."""
+    return f"""uni AS (
         SELECT doc_id, CAST(any_value(n_words) AS BIGINT) AS n_words,
                CAST(max(cnt) AS BIGINT) AS top_word_n
         FROM (SELECT doc_id, n_words, g, count(*) AS cnt
               FROM (SELECT doc_id, len(w) AS n_words, unnest(w) AS g
-                    FROM d)
+                    FROM {word_cte})
               GROUP BY doc_id, n_words, g)
         GROUP BY doc_id
     ),
@@ -1274,7 +1263,7 @@ def _gopher_oracle() -> str:
                     FROM (SELECT doc_id, w,
                                  unnest(generate_series(1, len(w) - 1))
                                      AS i
-                          FROM d WHERE len(w) >= 2))
+                          FROM {word_cte} WHERE len(w) >= 2))
               GROUP BY doc_id, g)
         GROUP BY doc_id
     ),
@@ -1289,57 +1278,74 @@ def _gopher_oracle() -> str:
                     FROM (SELECT doc_id, w,
                                  unnest(generate_series(1, len(w) - 4))
                                      AS i
-                          FROM d WHERE len(w) >= 5))
+                          FROM {word_cte} WHERE len(w) >= 5))
               GROUP BY doc_id, g)
         GROUP BY doc_id
-    )
-    SELECT u.doc_id, u.n_words, u.top_word_n,
-           coalesce(b.n_bigrams, 0) AS n_bigrams,
-           coalesce(b.top_bigram_n, 0) AS top_bigram_n,
-           coalesce(f.n_5grams, 0) AS n_5grams,
-           coalesce(f.n_dup_5gram_pos, 0) AS n_dup_5gram_pos,
-           (u.top_word_n * 100 <= 30 * u.n_words
-            AND coalesce(b.top_bigram_n, 0) * 100
-                <= 20 * coalesce(b.n_bigrams, 0)
-            AND coalesce(f.n_dup_5gram_pos, 0) * 100
-                <= 30 * coalesce(f.n_5grams, 0))
-               AS keep
-    FROM uni u LEFT JOIN bi b USING (doc_id)
-               LEFT JOIN five f USING (doc_id)
+    ),
+    gq AS (
+        SELECT u.doc_id, u.n_words, u.top_word_n,
+               coalesce(b.n_bigrams, 0) AS n_bigrams,
+               coalesce(b.top_bigram_n, 0) AS top_bigram_n,
+               coalesce(f.n_5grams, 0) AS n_5grams,
+               coalesce(f.n_dup_5gram_pos, 0) AS n_dup_5gram_pos,
+               (u.top_word_n * 100 <= 30 * u.n_words
+                AND coalesce(b.top_bigram_n, 0) * 100
+                    <= 20 * coalesce(b.n_bigrams, 0)
+                AND coalesce(f.n_dup_5gram_pos, 0) * 100
+                    <= 30 * coalesce(f.n_5grams, 0))
+                   AS keep
+        FROM uni u LEFT JOIN bi b USING (doc_id)
+                   LEFT JOIN five f USING (doc_id)
+    )"""
+
+
+# plant deterministic boilerplate in every 17th doc (first 5 words
+# repeated 8x) so the duplicate-5-gram gate demonstrably fires on the
+# otherwise-too-clean synthetic corpus; mirrored on both engines
+_GOPHER_PLANT_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0
+                    THEN w0 || flatten(list_transform(
+                             generate_series(1, 8), i -> w0[1:5]))
+                    ELSE w0 END AS w"""
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin of gopher_repetition_filters: same normalized word
+    stream, same three gram statistics, same integer threshold gates."""
+    return f"""
+    WITH d0 AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w0
+        FROM documents WHERE length(text) > 0
+    ),
+    d AS ({_GOPHER_PLANT_SQL}
+        FROM d0
+    ),
+    {_gopher_ctes('d')}
+    SELECT * FROM gq
     """
 
 
-@query("gopher_repetition_filters", oracle=_gopher_oracle())
-def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality filters (Rae et al. 2021,
-    appendix A1.1 — the standard LLM-corpus repetition gates), word-level
-    on the normalized stream: top-word fraction (<=0.30), top-bigram
-    fraction (<=0.20), duplicate-5-gram position fraction (<=0.30 — the
-    word-level analog of the duplicate-n-gram character fraction).
-    Counts emitted as exact integers, the keep gate as pure integer
-    comparisons — zero float rounding cross-engine. Plan: three
-    combiner-friendly (doc, gram)->doc aggregations joined on doc_id;
-    gram synthesis is O(words) per doc via element_at (never
-    array_join(slice(...)) — no CSE through HOF lambdas). Docs missing
-    bigrams/5-grams pass those gates vacuously."""
-    d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-         .select("doc_id",
-                 F.split(normalized_col("text"), " ").alias("w0")))
-    # plant deterministic boilerplate in every 17th doc (first 5 words
-    # repeated 8x, mirrored in the oracle) so the duplicate-5-gram gate
-    # demonstrably FIRES at the paper threshold on this corpus — the
-    # synthetic documents are otherwise too clean to trip any gate
-    d = d.select(
+def gopher_plant(d: DataFrame) -> DataFrame:
+    """(doc_id, w0) -> (doc_id, w): plant the deterministic boilerplate
+    (first 5 words repeated 8x in every 17th doc) — the SQL twin is
+    _GOPHER_PLANT_SQL."""
+    return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 17 == 0,
                F.concat("w0", F.flatten(F.array_repeat(
                    F.slice("w0", 1, 5), 8))))
          .otherwise(F.col("w0")).alias("w"))
-    # normalize+split feeds three independent aggregations (uni/bi/five
-    # are join children — Spark does no CSE across them); materialize
-    # the word table once instead of paying the regex normalization 3x
-    # per execution — the same multi-consumer rationale as SemDeDup's
-    # corpus checkpoint above
+
+
+def gopher_counts(d: DataFrame) -> DataFrame:
+    """Per-doc Gopher repetition counts + keep gate over (doc_id, w).
+
+    Materializes the word table once: uni/bi/five are join children and
+    Spark does no CSE across them, so without truncation the caller's
+    whole word derivation would run 3x (the SemDeDup multi-consumer
+    rationale). Gram synthesis is O(words) per doc via element_at
+    (never array_join(slice(...)) — no CSE through HOF lambdas)."""
     d = d.localCheckpoint(eager=True)
     uni = (d.select("doc_id", F.size("w").alias("n_words"),
                     F.explode("w").alias("g"))
@@ -1385,6 +1391,24 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n5.cast("bigint").alias("n_5grams"),
         d5.cast("bigint").alias("n_dup_5gram_pos"),
         keep.alias("keep"))
+
+
+@query("gopher_repetition_filters", oracle=_gopher_oracle())
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    appendix A1.1 — the standard LLM-corpus repetition gates), word-level
+    on the normalized stream: top-word fraction (<=0.30), top-bigram
+    fraction (<=0.20), duplicate-5-gram position fraction (<=0.30 — the
+    word-level analog of the duplicate-n-gram character fraction).
+    Counts emitted as exact integers, the keep gate as pure integer
+    comparisons — zero float rounding cross-engine. Plan: three
+    combiner-friendly (doc, gram)->doc aggregations joined on doc_id
+    (see gopher_counts). Planted boilerplate (gopher_plant) proves the
+    gates fire on this corpus."""
+    d0 = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+          .select("doc_id",
+                  F.split(normalized_col("text"), " ").alias("w0")))
+    return gopher_counts(gopher_plant(d0))
 
 
 @query(

@@ -213,3 +213,65 @@ def test_duplicate_spans_knobs(spark):
     out6 = duplicate_spans(df, "doc_id", "text", gram_width=6,
                            min_grams=1).collect()
     assert [(r["n_grams"], r["span_words"]) for r in out6] == [(1, 6)]
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """Differential: on small corpora the postings-join span finder must
+    equal a brute-force all-pairs scan (python sets over the same
+    normalized word streams, same maximal-diagonal-run semantics)."""
+    import random
+    import re
+
+    from my_ocr_spark.operators.dedup import duplicate_spans
+
+    def norm(s):
+        s = re.sub(r"[^a-z0-9一-龥 ]", "", s.lower())
+        return re.sub(r" +", " ", s).strip()
+
+    def brute(texts, g=5, min_grams=2):
+        words = {i: norm(t).split(" ") for i, t in texts.items()}
+        out = set()
+        ids = sorted(words)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                wa, wb = words[a], words[b]
+                if len(wa) < g or len(wb) < g:
+                    continue
+                ga = {}
+                for i in range(len(wa) - g + 1):
+                    ga.setdefault(tuple(wa[i:i + g]), []).append(i + 1)
+                matches = []
+                for j in range(len(wb) - g + 1):
+                    for i in ga.get(tuple(wb[j:j + g]), ()):
+                        matches.append((i, j + 1))
+                # maximal runs along constant i-j diagonals
+                mset = set(matches)
+                for i, j in matches:
+                    if (i - 1, j - 1) in mset:
+                        continue  # not a run start
+                    n = 0
+                    while (i + n, j + n) in mset:
+                        n += 1
+                    if n >= min_grams:
+                        out.add((a, b, i, j, n, n + g - 1))
+        return out
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    rng = random.Random(11)
+    texts = {}
+    for d in range(14):
+        w = [rng.choice(vocab) for _ in range(rng.randrange(3, 30))]
+        texts[d] = " ".join(w)
+    # plant one guaranteed long shared span
+    shared = "one two three four five six seven eight"
+    texts[20] = f"pre {shared} post"
+    texts[21] = f"{shared} tail words here"
+
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {(r.doc1, r.doc2, r.start1, r.start2, r.n_grams, r.span_words)
+           for r in duplicate_spans(df, "doc_id", "text",
+                                    df_cap=10_000).collect()}
+    assert got == brute(texts), (
+        got - brute(texts), brute(texts) - got)
