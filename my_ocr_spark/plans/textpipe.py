@@ -1456,3 +1456,98 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("mix_share"),
         F.floor(F.col("raw_w") / F.col("m") * F.col("n_docs") + 0.5)
          .cast("bigint").alias("target_docs"))
+
+
+def _c4_oracle() -> str:
+    """DuckDB twin of c4_line_filters: identical line synthesis
+    (8-word windows, punctuation by (doc_id+i)%4, planted lorem/brace
+    in line 0) and identical integer/boolean rules."""
+    return f"""
+    WITH d AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+        FROM documents WHERE length(text) > 0
+    ),
+    ln AS (
+        SELECT doc_id, i,
+               array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')
+               || CASE WHEN i = 0 AND doc_id % 23 = 0
+                       THEN ' lorem ipsum' ELSE '' END
+               || CASE WHEN i = 0 AND doc_id % 29 = 0
+                       THEN ' {{ code }}' ELSE '' END
+               || CASE WHEN (doc_id + i) % 4 != 0 THEN '.' ELSE '' END
+                   AS line
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(0,
+                         CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS i
+              FROM d)
+    ),
+    lk AS (
+        SELECT doc_id, line,
+               (line LIKE '%.' AND len(string_split(line, ' ')) >= 5)
+                   AS kept,
+               contains(line, 'lorem ipsum') AS lorem,
+               contains(line, '{{') AS brace
+        FROM ln
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_lines,
+           bool_or(lorem) AS has_lorem,
+           bool_or(brace) AS has_brace,
+           (sum(CASE WHEN kept THEN 1 ELSE 0 END) >= 3
+            AND NOT bool_or(lorem) AND NOT bool_or(brace)) AS keep
+    FROM lk GROUP BY doc_id
+    """
+
+
+@query("c4_line_filters", oracle=_c4_oracle())
+def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/document cleaning rules (Raffel et al. 2020 §2.2 —
+    the other canonical LLM-corpus filter set next to the Gopher gates):
+    keep a line only if it ends in terminal punctuation AND has >= 5
+    words; drop any document containing 'lorem ipsum' or a curly brace
+    (code), or with < 3 surviving lines. The plain word-stream corpus
+    has no lines or punctuation, so both are synthesized
+    deterministically on BOTH engines (8-word windows; '.' appended
+    when (doc_id + line_idx) % 4 != 0; lorem/brace planted into line 0
+    of every 23rd/29th doc) — the RULES are the operator under test,
+    the plant guarantees each rule demonstrably fires. All counts exact
+    integers, gates pure boolean algebra; one explode + one groupBy
+    shuffle, no Python."""
+    d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+         .select("doc_id",
+                 F.split(normalized_col("text"), " ").alias("w")))
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1),"
+            " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"))
+         .alias("i", "line0"))
+    line = F.concat(
+        F.col("line0"),
+        F.when((F.col("i") == 0) & (F.col("doc_id") % 23 == 0),
+               F.lit(" lorem ipsum")).otherwise(""),
+        F.when((F.col("i") == 0) & (F.col("doc_id") % 29 == 0),
+               F.lit(" { code }")).otherwise(""),
+        F.when((F.col("doc_id") + F.col("i")) % 4 != 0,
+               F.lit(".")).otherwise(""))
+    lk = lines.select(
+        "doc_id",
+        line.alias("line")).select(
+        "doc_id",
+        (F.col("line").endswith(".")
+         & (F.size(F.split("line", " ")) >= 5)).alias("kept"),
+        F.col("line").contains("lorem ipsum").alias("lorem"),
+        F.col("line").contains("{").alias("brace"))
+    return (lk.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.sum(F.col("kept").cast("int")).cast("bigint")
+                  .alias("n_kept_lines"),
+                 F.max("lorem").alias("has_lorem"),
+                 F.max("brace").alias("has_brace"))
+            .select("doc_id", "n_lines", "n_kept_lines",
+                    "has_lorem", "has_brace",
+                    ((F.col("n_kept_lines") >= 3)
+                     & ~F.col("has_lorem")
+                     & ~F.col("has_brace")).alias("keep")))
