@@ -872,6 +872,10 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("source"),
         F.length("text").alias("n_chars"),
         F.split(normalized_col("text"), " ").alias("w0"))
+    # materialize ONCE here: d0 feeds both gopher_counts and the join's
+    # source/n_chars branch — without this the dominant Python
+    # extraction stage upstream would execute twice per action
+    d0 = d0.localCheckpoint(eager=True)
     g = gopher_counts(gopher_plant(d0.select("doc_id", "w0")))
     j = (d0.select("doc_id", "source", "n_chars")
          .join(g.select("doc_id", "keep"), "doc_id"))

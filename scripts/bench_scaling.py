@@ -45,11 +45,17 @@ out = extract_docs(corpus)
 n_out = out.count()
 wall = time.perf_counter() - t0
 assert n_out == n_docs
-spark.stop()
+# print BEFORE stop: a JVM that dies in its shutdown hooks (observed:
+# DAGScheduler.stop raising inside SparkContext.stop) must not discard
+# a completed measurement
 print(json.dumps({"cores": int(cores), "n_docs": int(n_docs),
                   "mb": n_bytes / 1e6, "wall_sec": wall,
                   "docs_per_sec": n_docs / wall,
-                  "mb_per_sec": n_bytes / 1e6 / wall}))
+                  "mb_per_sec": n_bytes / 1e6 / wall}), flush=True)
+try:
+    spark.stop()
+except Exception:
+    pass
 """
 
 
@@ -101,14 +107,17 @@ def run_level(cores: int, sf_dir: str, copies: int) -> dict:
     # accept a completed measurement even if the JVM died in its
     # shutdown hooks AFTER printing it (observed: DAGScheduler.stop
     # raising during SparkContext.stop turns a finished run into
-    # returncode 1; the timed JSON line on stdout is the ground truth)
-    lines = out.stdout.strip().splitlines()
-    if lines:
+    # returncode 1; the timed JSON line on stdout is the ground truth).
+    # Scan in reverse so a stray late warning line on stdout doesn't
+    # mask the valid measurement one line up.
+    for line in reversed(out.stdout.strip().splitlines()):
         try:
-            return json.loads(lines[-1])
+            return json.loads(line)
         except ValueError:
-            pass
-    raise RuntimeError(out.stderr[-2000:])
+            continue
+    raise RuntimeError(
+        f"level {cores}: no JSON measurement on stdout "
+        f"(rc={out.returncode}); stderr tail: {out.stderr[-2000:]}")
 
 
 def main() -> None:

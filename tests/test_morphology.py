@@ -183,13 +183,29 @@ def test_fill_hole_scanline_matches_frontier_reference():
             reach = grown
         return ~reach[1:h + 1, 1:w + 1] | m
 
+    from my_ocr_spark.kernel.morphology import _reach_from_border
+
+    def fill_scanline(mask):
+        # drive the scanline path directly: fill_hole's hybrid would
+        # route these easy masks to the vectorized fixpoint
+        m = np.asarray(mask) != 0
+        h, w = m.shape
+        free = np.ones((h + 2, w + 2), dtype=bool)
+        free[1:h + 1, 1:w + 1] = ~m
+        reach = _reach_from_border(free)
+        return ~reach[1:h + 1, 1:w + 1] | m
+
     rng = np.random.RandomState(3)
     for density in (0.3, 0.5, 0.7):
         for _ in range(25):
             m = rng.rand(20, 20) < density
-            assert (fill_hole(m) == fill_reference(m)).all()
+            ref = fill_reference(m)
+            assert (fill_scanline(m) == ref).all()
+            assert (fill_hole(m) == ref).all()
 
     # spiral: walls every other ring, one corridor connecting everything
+    # (geodesic diameter >> 2(h+w) -> fill_hole's hybrid takes the
+    # scanline fallback here)
     n = 41
     sp = np.zeros((n, n), bool)
     for ring in range(1, n // 2, 2):
