@@ -220,3 +220,13 @@ def test_gopher_filters_single_normalize_pass(spark, sf_dir):
     plan = _physical_plan(gopher_repetition_filters(spark, sf_dir))
     assert "Scan ExistingRDD" in plan, plan        # the checkpoint
     assert plan.count("Scan parquet") == 0, plan   # no re-read per branch
+
+
+def test_curation_mix_report_single_extraction(spark, sf_dir):
+    """curation_mix_report materializes the extracted table once: the
+    executed plan must read the checkpoint (no parquet re-scan, no
+    second extraction MapInPandas per join branch)."""
+    from my_ocr_spark.plans.analytics import curation_mix_report
+    plan = _physical_plan(curation_mix_report(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
