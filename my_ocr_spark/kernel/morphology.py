@@ -66,6 +66,12 @@ def fill_hole(mask: np.ndarray) -> np.ndarray:
     h, w = m.shape
     free = np.ones((h + 2, w + 2), dtype=bool)
     free[1:h + 1, 1:w + 1] = ~m
+    if m.size > 16384:
+        # large masks go straight to the O(area) scanline: even the
+        # CAPPED fixpoint costs O((h+w)·area) before giving up, which
+        # at page scale dwarfs the scanline it would fall back to
+        reach = _reach_from_border(free)
+        return ~reach[1:h + 1, 1:w + 1] | m
     # vectorized frontier fixpoint, capped: geodesic border distance
     # exceeds 2(h+w) only for corridor shapes (spirals), where the
     # fixpoint is the wrong algorithm — hand those to the scanline

@@ -801,7 +801,7 @@ def _mix_report_oracle() -> str:
     CTE chain (textpipe._gopher_ctes) over the extracted text, then the
     per-source rollup + sqrt-temperature mix shares."""
     from my_ocr_spark.plans.textpipe import (
-        _GOPHER_PLANT_SQL, _NORM_SQL, _gopher_ctes,
+        _GOPHER_PLANT_SQL, _MIX_SHARE_SQL, _NORM_SQL, _gopher_ctes,
     )
 
     return f"""
@@ -838,9 +838,10 @@ def _mix_report_oracle() -> str:
         FROM j GROUP BY source
     )
     SELECT source, n_docs, n_kept, kept_chars,
-           floor(sqrt(CAST(n_kept AS DOUBLE))
-                 / (SELECT sum(sqrt(CAST(n_kept AS DOUBLE))) FROM rep)
-                 * 1e6 + 0.5) / CAST(1e6 AS DOUBLE) AS mix_share
+           {_MIX_SHARE_SQL.format(
+               raw="sqrt(CAST(n_kept AS DOUBLE))",
+               total="SELECT sum(sqrt(CAST(n_kept AS DOUBLE))) FROM rep")}
+               AS mix_share
     FROM rep
     """
 
@@ -861,22 +862,31 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain and the exact-integer rollup."""
     from my_ocr_spark.operators.dedup import normalized_col
     from my_ocr_spark.plans.flagship import flagship_extract
-    from my_ocr_spark.plans.textpipe import gopher_counts, gopher_plant
+    from my_ocr_spark.plans.textpipe import (
+        gopher_counts, gopher_plant, sqrt_mix_share,
+    )
 
     ext = (flagship_extract(spark, sf_dir)
            .select("url", "text").filter(F.length("text") > 0))
     d0 = ext.select(
-        F.regexp_extract("url", r"/p/([0-9]+)$", 1).cast("bigint")
-         .alias("doc_id"),
+        # try_cast: an url that ever lacked the /p/<digits> tail must
+        # become a filtered NULL row, not an ANSI NumberFormatException
+        F.expr("try_cast(regexp_extract(url, '/p/([0-9]+)$', 1)"
+               " AS BIGINT)").alias("doc_id"),
         F.regexp_extract("url", r"^https://([^.]+)\.example", 1)
          .alias("source"),
         F.length("text").alias("n_chars"),
         F.split(normalized_col("text"), " ").alias("w0"))
+    d0 = d0.filter(F.col("doc_id").isNotNull())
     # materialize ONCE here: d0 feeds both gopher_counts and the join's
     # source/n_chars branch — without this the dominant Python
-    # extraction stage upstream would execute twice per action
+    # extraction stage upstream would execute twice per action.
+    # gopher_counts skips its own checkpoint (materialize=False): its
+    # input is a cheap plant over this scan, and a second checkpoint
+    # would pin a duplicate copy of the word arrays
     d0 = d0.localCheckpoint(eager=True)
-    g = gopher_counts(gopher_plant(d0.select("doc_id", "w0")))
+    g = gopher_counts(gopher_plant(d0.select("doc_id", "w0")),
+                      materialize=False)
     j = (d0.select("doc_id", "source", "n_chars")
          .join(g.select("doc_id", "keep"), "doc_id"))
     rep = (j.groupBy("source")
@@ -889,5 +899,5 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = w.agg(F.sum("raw_w").alias("t"))
     return (w.crossJoin(F.broadcast(tot))
             .select("source", "n_docs", "n_kept", "kept_chars",
-                    (F.floor(F.col("raw_w") / F.col("t") * 1e6 + 0.5)
-                     / F.lit(1e6)).alias("mix_share")))
+                    sqrt_mix_share(F.col("raw_w"), F.col("t"))
+                     .alias("mix_share")))

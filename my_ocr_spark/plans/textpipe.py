@@ -1338,15 +1338,20 @@ def gopher_plant(d: DataFrame) -> DataFrame:
          .otherwise(F.col("w0")).alias("w"))
 
 
-def gopher_counts(d: DataFrame) -> DataFrame:
+def gopher_counts(d: DataFrame, materialize: bool = True) -> DataFrame:
     """Per-doc Gopher repetition counts + keep gate over (doc_id, w).
 
-    Materializes the word table once: uni/bi/five are join children and
-    Spark does no CSE across them, so without truncation the caller's
-    whole word derivation would run 3x (the SemDeDup multi-consumer
-    rationale). Gram synthesis is O(words) per doc via element_at
-    (never array_join(slice(...)) — no CSE through HOF lambdas)."""
-    d = d.localCheckpoint(eager=True)
+    Materializes the word table once by default: uni/bi/five are join
+    children and Spark does no CSE across them, so without truncation
+    the caller's whole word derivation would run 3x (the SemDeDup
+    multi-consumer rationale). A caller whose input is ALREADY a cheap
+    scan (e.g. derived from its own checkpoint, like
+    curation_mix_report) passes ``materialize=False`` to avoid pinning
+    a second copy of the word arrays. Gram synthesis is O(words) per
+    doc via element_at (never array_join(slice(...)) — no CSE through
+    HOF lambdas)."""
+    if materialize:
+        d = d.localCheckpoint(eager=True)
     uni = (d.select("doc_id", F.size("w").alias("n_words"),
                     F.explode("w").alias("g"))
            .groupBy("doc_id", "n_words", "g").count()
@@ -1411,9 +1416,22 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_counts(gopher_plant(d0))
 
 
+
+# single definition of the sqrt-temperature mix share, used by BOTH
+# source_mixing_weights and curation_mix_report (Spark + SQL twins) so
+# the rounding/temperature rule can never silently diverge
+_MIX_SHARE_SQL = "floor({raw} / ({total}) * 1e6 + 0.5) / CAST(1e6 AS DOUBLE)"
+
+
+def sqrt_mix_share(raw_col, total_col):
+    """floor-half-up 6dp normalized share (sums of sqrt weights are
+    order-dependent at the last ulp; 6dp absorbs it on both engines)."""
+    return F.floor(raw_col / total_col * 1e6 + 0.5) / F.lit(1e6)
+
+
 @query(
     "source_mixing_weights",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(length(text)) AS BIGINT) AS n_chars
@@ -1425,8 +1443,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT source, n_docs, n_chars,
-           floor(raw_w / (SELECT sum(raw_w) FROM w) * 1e6 + 0.5)
-               / CAST(1e6 AS DOUBLE) AS mix_share,
+           {_MIX_SHARE_SQL.format(raw='raw_w', total='SELECT sum(raw_w) FROM w')} AS mix_share,
            CAST(floor(raw_w / (SELECT max(raw_w) FROM w) * n_docs + 0.5)
                 AS BIGINT) AS target_docs
     FROM w
@@ -1452,8 +1469,7 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = w.crossJoin(F.broadcast(tot))
     return out.select(
         "source", "n_docs", "n_chars",
-        (F.floor(F.col("raw_w") / F.col("t") * 1e6 + 0.5)
-         / F.lit(1e6)).alias("mix_share"),
+        sqrt_mix_share(F.col("raw_w"), F.col("t")).alias("mix_share"),
         F.floor(F.col("raw_w") / F.col("m") * F.col("n_docs") + 0.5)
          .cast("bigint").alias("target_docs"))
 

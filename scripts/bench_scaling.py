@@ -112,9 +112,13 @@ def run_level(cores: int, sf_dir: str, copies: int) -> dict:
     # mask the valid measurement one line up.
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            return json.loads(line)
+            parsed = json.loads(line)
         except ValueError:
             continue
+        # the measurement dict specifically — bare scalars ('NaN', a
+        # stray number) are also valid JSON and must not match
+        if isinstance(parsed, dict) and "wall_sec" in parsed:
+            return parsed
     raise RuntimeError(
         f"level {cores}: no JSON measurement on stdout "
         f"(rc={out.returncode}); stderr tail: {out.stderr[-2000:]}")
