@@ -19,13 +19,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _components_driver_side(e: DataFrame) -> DataFrame:
+    """Union-find on a collected edge list — identical min-label
+    semantics to the distributed loop (the root of each tree is always
+    the component minimum because larger roots link under smaller)."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(
+        out, schema=e.select(F.col("a").alias("node"),
+                             F.col("b").alias("component")).schema)
+
+
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 20,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """(node, component) — component = min node id reachable.
 
     ``edges``: DataFrame of (src, dst) pairs (any orientation; they are
     symmetrized internally). Isolated nodes absent from edges are absent
     from the output (join back upstream if needed).
+
+    Cost model (same reasoning as broadcast-join thresholds): the
+    distributed loop costs ~4 Spark jobs per iteration, which dominates
+    wall time on small edge sets — below ``driver_threshold``
+    symmetrized edges (default 100k, ~a few MB collected) a driver-side
+    union-find produces the identical min-label result in one job
+    (measured: SemDeDup's 488-edge graph, 3.2 s loop → ~0.3 s). Above
+    the threshold the distributed O(log n) pointer-jumping loop runs
+    unchanged; pass ``driver_threshold=0`` to force it (the tests do).
     """
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
               .union(edges.select(F.col(dst).alias("a"),
@@ -39,6 +77,8 @@ def connected_components(edges: DataFrame, src: str = "src",
     # scale swap localCheckpoint for a reliable checkpoint dir if
     # executor loss during the loop must be survivable.
     e = e.localCheckpoint(eager=True)
+    if driver_threshold and e.count() <= driver_threshold:
+        return _components_driver_side(e)
     labels = (e.select(F.col("a").alias("node"))
                .distinct()
                .withColumn("component", F.col("node")))

@@ -28,3 +28,23 @@ def test_remove_singletons(spark):
     labels = connected_components(edges)
     kept = {r["node"] for r in remove_singletons(labels).collect()}
     assert kept == {1, 2}
+
+
+def test_distributed_and_driver_paths_agree(spark):
+    """The driver-side union-find (small-graph cost-model path) and the
+    distributed pointer-jumping loop must produce identical labels —
+    random graphs with chains, cliques, stars and self-loops."""
+    import random
+
+    rng = random.Random(9)
+    for trial in range(6):
+        n = rng.randrange(5, 60)
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(n, 3 * n))]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        drv = {r["node"]: r["component"]
+               for r in connected_components(df).collect()}
+        dist = {r["node"]: r["component"]
+                for r in connected_components(
+                    df, driver_threshold=0).collect()}
+        assert drv == dist, trial
