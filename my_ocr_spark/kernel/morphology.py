@@ -138,3 +138,36 @@ def skeletonize(mask: np.ndarray) -> np.ndarray:
                 img[1:-1, 1:-1][cond] = 0
                 changed = True
     return img[1:-1, 1:-1].astype(bool)
+
+
+def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
+    """Connected-component labels for the true-regions of a binary mask
+    (the per-instance step of textsnake_decode, wrapper.py:350-358,
+    where cv2.findContours + drawContours isolates each instance).
+    Label = row-major index (r*w + c) of the component's first (and
+    therefore minimum) pixel; background = -1. 8-connectivity by
+    default, matching contour semantics; pass 4 for strict edges."""
+    m = np.asarray(mask) != 0
+    h, w = m.shape
+    lab = np.full((h, w), -1, dtype=np.int64)
+    if connectivity == 8:
+        nbrs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    for r0 in range(h):
+        for c0 in range(w):
+            if not m[r0, c0] or lab[r0, c0] >= 0:
+                continue
+            seed = r0 * w + c0
+            stack = [(r0, c0)]
+            lab[r0, c0] = seed
+            while stack:
+                r, c = stack.pop()
+                for dr, dc in nbrs:
+                    rn, cn = r + dr, c + dc
+                    if (0 <= rn < h and 0 <= cn < w and m[rn, cn]
+                            and lab[rn, cn] < 0):
+                        lab[rn, cn] = seed
+                        stack.append((rn, cn))
+    return lab

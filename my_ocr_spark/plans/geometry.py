@@ -1423,19 +1423,15 @@ def _skel_mask_numpy(k: int, rr: np.ndarray, cc: np.ndarray) -> np.ndarray:
             | ((rr >= 5) & (rr <= 6) & (cc >= c0) & (cc <= c0 + 4)))
 
 
-def _skeletonize_oracle(passes: int = _SKEL_PASSES) -> str:
-    """DuckDB replay of the FULL Zhang-Suen algorithm: the 8x8 grid is a
-    64-int list column; each unrolled subiteration recomputes every cell
-    from its ring neighbors (same B / A / corner-product conditions,
-    same simultaneous application), two sub-steps per pass. ``passes``
-    exceeds the fixture family's convergence depth (pytest-pinned), and
-    converged grids are fixpoints of further sub-steps, so the unroll
-    equals the kernel's run-to-quiescence loop."""
+def _zs_levels(passes: int, h: int, w: int, src: str) -> tuple[str, str]:
+    """Unrolled Zhang-Suen CTE chain over an h*w-int list column ``g``
+    starting from CTE ``src``; returns (chain_sql, final_cte_name).
+    Shared by the standalone skeletonize oracle (8x8) and the
+    textsnake_center_decode composition (12x12)."""
     def nb(dr: int, dc: int) -> str:
-        # neighbor value with zero border (i is 1-based; r=(i-1)//8)
-        return (f"(CASE WHEN r + ({dr}) BETWEEN 0 AND 7 "
-                f"AND c + ({dc}) BETWEEN 0 AND 7 "
-                f"THEN g[(r + ({dr})) * 8 + c + ({dc}) + 1] "
+        return (f"(CASE WHEN r + ({dr}) BETWEEN 0 AND {h - 1} "
+                f"AND c + ({dc}) BETWEEN 0 AND {w - 1} "
+                f"THEN g[(r + ({dr})) * {w} + c + ({dc}) + 1] "
                 f"ELSE 0 END)")
 
     ring = [nb(-1, 0), nb(-1, 1), nb(0, 1), nb(1, 1),
@@ -1445,7 +1441,7 @@ def _skeletonize_oracle(passes: int = _SKEL_PASSES) -> str:
         f"(CASE WHEN {ring[i]} = 0 AND {ring[(i + 1) % 8]} = 1 "
         f"THEN 1 ELSE 0 END)" for i in range(8))
     levels = []
-    prev = "g0"
+    prev = src
     n = 0
     for _ in range(passes):
         for step in (0, 1):
@@ -1457,19 +1453,31 @@ def _skeletonize_oracle(passes: int = _SKEL_PASSES) -> str:
                 corner = (f"({ring[0]} * {ring[2]} * {ring[6]} = 0) "
                           f"AND ({ring[0]} * {ring[4]} * {ring[6]} = 0)")
             levels.append(f"""
-    g{n} AS (
+    {src}_{n} AS (
         SELECT img_id, list(v ORDER BY i) AS g FROM (
             SELECT img_id, i,
                    CASE WHEN g[i] = 1 AND ({b_expr}) BETWEEN 2 AND 6
                              AND ({a_expr}) = 1 AND {corner}
                         THEN 0 ELSE g[i] END AS v
-            FROM (SELECT img_id, g, (i - 1) // 8 AS r, (i - 1) % 8 AS c, i
+            FROM (SELECT img_id, g, (i - 1) // {w} AS r,
+                         (i - 1) % {w} AS c, i
                   FROM (SELECT img_id, g,
-                               unnest(generate_series(1, 64)) AS i
+                               unnest(generate_series(1, {h * w})) AS i
                         FROM {prev})))
         GROUP BY img_id)""")
-            prev = f"g{n}"
-    chain = ",".join(levels)
+            prev = f"{src}_{n}"
+    return ",".join(levels), prev
+
+
+def _skeletonize_oracle(passes: int = _SKEL_PASSES) -> str:
+    """DuckDB replay of the FULL Zhang-Suen algorithm: the 8x8 grid is a
+    64-int list column; each unrolled subiteration recomputes every cell
+    from its ring neighbors (same B / A / corner-product conditions,
+    same simultaneous application), two sub-steps per pass. ``passes``
+    exceeds the fixture family's convergence depth (pytest-pinned), and
+    converged grids are fixpoints of further sub-steps, so the unroll
+    equals the kernel's run-to-quiescence loop."""
+    chain, final = _zs_levels(passes, 8, 8, "g0")
     mask = """
         CASE WHEN k % 3 = 0 THEN
                  CASE WHEN r BETWEEN k % 4 AND k % 4 + 2
@@ -1502,7 +1510,7 @@ def _skeletonize_oracle(passes: int = _SKEL_PASSES) -> str:
            CAST((SELECT sum(CASE WHEN z.g[i] = 1 THEN i ELSE 0 END)
                  FROM unnest(generate_series(1, 64)) AS t(i))
                 AS BIGINT) AS skel_checksum
-    FROM g0 a JOIN {prev} z USING (img_id)
+    FROM g0 a JOIN {final} z USING (img_id)
     """
 
 
@@ -1538,3 +1546,144 @@ def skeletonize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_SKEL_OUT)
+
+
+# --- textsnake center-mask decode: fill -> instances -> skeletons -----------
+
+_TS_OUT = T.StructType([
+    T.StructField("img_id", T.LongType(), False),
+    T.StructField("instance", T.LongType(), False),
+    T.StructField("n_fill_px", T.LongType(), False),
+    T.StructField("n_skel_px", T.LongType(), False),
+    T.StructField("skel_checksum", T.LongType(), False),
+])
+
+
+def _ts_mask_numpy(k: int, rr: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Two disjoint instances per 12x12 image: a rectangle RING (its
+    hole must fill) and a solid 3x6 bar, row-separated by >= 2 so
+    whole-grid thinning equals per-instance thinning. Mirrored exactly
+    by the SQL mask expression in _textsnake_oracle."""
+    x0 = 1 + k % 2
+    ring = ((((cc == x0) | (cc == x0 + 4)) & (rr >= 1) & (rr <= 5))
+            | (((rr == 1) | (rr == 5)) & (cc >= x0) & (cc <= x0 + 4)))
+    cb = 1 + k % 3
+    bar = (rr >= 8) & (rr <= 10) & (cc >= cb) & (cc <= cb + 5)
+    return ring | bar
+
+
+def _textsnake_oracle(passes: int = _SKEL_PASSES) -> str:
+    """The full decode replayed in SQL: border-BFS hole filling
+    (recursive CTE), 8-connected min-label instance closure (recursive
+    CTE over an offsets table), and the shared unrolled Zhang-Suen
+    chain (_zs_levels at 12x12) — joined into per-(image, instance)
+    exact-integer counts."""
+    chain, final = _zs_levels(passes, 12, 12, "sg0")
+    mask = """
+        ((c = 1 + k % 2 OR c = 5 + k % 2) AND r BETWEEN 1 AND 5)
+        OR ((r = 1 OR r = 5) AND c BETWEEN 1 + k % 2 AND 5 + k % 2)
+        OR (r BETWEEN 8 AND 10 AND c BETWEEN 1 + k % 3 AND 6 + k % 3)"""
+    return f"""
+    WITH RECURSIVE keys AS (
+        SELECT o_orderkey AS img_id, o_orderkey AS k
+        FROM orders WHERE o_orderkey % 37 = 0),
+    cells AS (
+        SELECT img_id, r, c, ({mask}) AS m
+        FROM keys,
+             (SELECT unnest(generate_series(0, 11)) AS r),
+             (SELECT unnest(generate_series(0, 11)) AS c)),
+    reach AS (
+        SELECT img_id, r, c FROM cells
+        WHERE NOT m AND (r = 0 OR r = 11 OR c = 0 OR c = 11)
+        UNION
+        SELECT cl.img_id, cl.r, cl.c
+        FROM reach rc,
+             (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)) AS o(dr, dc)
+        JOIN cells cl
+          ON cl.img_id = rc.img_id AND cl.r = rc.r + o.dr
+         AND cl.c = rc.c + o.dc AND NOT cl.m),
+    filled AS (
+        SELECT cl.img_id, cl.r, cl.c,
+               (cl.m OR rc.r IS NULL) AS f
+        FROM cells cl LEFT JOIN reach rc
+          ON rc.img_id = cl.img_id AND rc.r = cl.r AND rc.c = cl.c),
+    fpix AS (SELECT img_id, r, c FROM filled WHERE f),
+    lbl AS (
+        SELECT img_id, r, c, r * 12 + c AS lab FROM fpix
+        UNION
+        SELECT p.img_id, p.r, p.c, l.lab
+        FROM lbl l,
+             (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                     (0, 1), (1, -1), (1, 0), (1, 1)) AS o(dr, dc)
+        JOIN fpix p
+          ON p.img_id = l.img_id AND p.r = l.r + o.dr
+         AND p.c = l.c + o.dc),
+    comp AS (SELECT img_id, r, c, min(lab) AS inst
+             FROM lbl GROUP BY img_id, r, c),
+    sg0 AS (
+        SELECT img_id, list(CASE WHEN f THEN 1 ELSE 0 END ORDER BY i)
+                   AS g
+        FROM (SELECT img_id, f, r * 12 + c + 1 AS i FROM filled)
+        GROUP BY img_id),
+    {chain},
+    skel AS (
+        SELECT img_id, (i - 1) // 12 AS r, (i - 1) % 12 AS c
+        FROM (SELECT img_id, unnest(g) AS v,
+                     unnest(generate_series(1, 144)) AS i
+              FROM {final})
+        WHERE v = 1)
+    SELECT comp.img_id, CAST(comp.inst AS BIGINT) AS instance,
+           CAST(count(*) AS BIGINT) AS n_fill_px,
+           CAST(sum(CASE WHEN sk.r IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_skel_px,
+           CAST(sum(CASE WHEN sk.r IS NOT NULL
+                         THEN comp.r * 12 + comp.c + 1 ELSE 0 END)
+                AS BIGINT) AS skel_checksum
+    FROM comp LEFT JOIN skel sk
+      ON sk.img_id = comp.img_id AND sk.r = comp.r AND sk.c = comp.c
+    GROUP BY comp.img_id, comp.inst
+    """
+
+
+@query("textsnake_center_decode", oracle=_textsnake_oracle())
+def textsnake_center_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textsnake center-mask decode chain composed end-to-end
+    (wrapper.py:306-370: fill_hole on the center mask -> per-instance
+    isolation via contours -> skeletonize each instance): key-derived
+    12x12 masks carry a holed ring and a solid bar per image; the real
+    kernels run the whole chain (fill_hole, 8-connected
+    label_components, Zhang-Suen skeletonize — instances are
+    row-separated >= 2 so whole-grid thinning == per-instance), and the
+    oracle replays all three stages in SQL (BFS reachability, min-label
+    closure over an 8-neighbor offsets table, the shared unrolled
+    Zhang-Suen chain). Per-(image, instance) pixel counts and the
+    positional checksum are exact integers. One narrow mapInPandas."""
+    from my_ocr_spark.kernel.morphology import (
+        fill_hole, label_components, skeletonize,
+    )
+
+    o = (t(spark, sf_dir, "orders").select("o_orderkey")
+         .filter(F.col("o_orderkey") % 37 == 0))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.mgrid[0:12, 0:12]
+        wgt = rr * 12 + cc + 1
+        for pdf in batches:
+            out = {"img_id": [], "instance": [], "n_fill_px": [],
+                   "n_skel_px": [], "skel_checksum": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                m = _ts_mask_numpy(k, rr, cc)
+                f = fill_hole(m)
+                lab = label_components(f, connectivity=8)
+                sk = skeletonize(f)
+                for inst in np.unique(lab[lab >= 0]):
+                    sel = lab == inst
+                    out["img_id"].append(k)
+                    out["instance"].append(int(inst))
+                    out["n_fill_px"].append(int(sel.sum()))
+                    out["n_skel_px"].append(int((sk & sel).sum()))
+                    out["skel_checksum"].append(int(wgt[sk & sel].sum()))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_TS_OUT)

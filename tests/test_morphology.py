@@ -236,3 +236,67 @@ def test_fill_hole_scanline_scales_linearly():
     assert time.monotonic() - t0 < 2.0
     # closed nested rings: everything inside the outermost ring fills
     assert f[2:n - 2, 2:n - 2].all()
+
+
+def test_label_components_semantics():
+    from my_ocr_spark.kernel.morphology import label_components
+
+    m = _grid([".......",
+               ".##....",
+               "..#..#.",
+               "....#..",
+               "......."])
+    lab8 = label_components(m)
+    # label = row-major index of the component's first pixel
+    assert lab8[1, 1] == lab8[1, 2] == lab8[2, 2] == 1 * 7 + 1
+    assert lab8[2, 5] == lab8[3, 4] == 2 * 7 + 5   # diagonal joins in 8-conn
+    lab4 = label_components(m, connectivity=4)
+    assert lab4[2, 5] != lab4[3, 4]                # but not in 4-conn
+    assert (lab4[m == 0] == -1).all()
+
+
+def test_textsnake_fixture_family_converges_within_unroll():
+    """The textsnake_center_decode oracle reuses the 5-pass Zhang-Suen
+    unroll at 12x12 — pin that the filled fixture masks converge within
+    it (same bounded-pass replay as the 8x8 pin)."""
+    import numpy as np
+
+    from my_ocr_spark.kernel.morphology import fill_hole, skeletonize
+    from my_ocr_spark.plans.geometry import _SKEL_PASSES, _ts_mask_numpy
+
+    rr, cc = np.mgrid[0:12, 0:12]
+    for k in range(0, 500, 7):
+        f = fill_hole(_ts_mask_numpy(k, rr, cc))
+        s = skeletonize(f)
+        # bounded replay: _SKEL_PASSES full passes of the parallel
+        # rule must already be the fixpoint the kernel converged to
+        img = f.copy()
+        for _ in range(_SKEL_PASSES):
+            img = skeletonize_one_pass(img)
+        assert (img == s).all(), k
+
+
+def skeletonize_one_pass(mask):
+    """One full Zhang-Suen pass (both subiterations), parallel rule —
+    used to pin oracle unroll depth."""
+    import numpy as np
+
+    img = (np.asarray(mask) != 0).astype(np.uint8)
+    img = np.pad(img, 1)
+    for step in (0, 1):
+        p = img
+        ring = [p[:-2, 1:-1], p[:-2, 2:], p[1:-1, 2:], p[2:, 2:],
+                p[2:, 1:-1], p[2:, :-2], p[1:-1, :-2], p[:-2, :-2]]
+        center = p[1:-1, 1:-1]
+        b = sum(r.astype(np.int8) for r in ring)
+        a = sum(((ring[i] == 0) & (ring[(i + 1) % 8] == 1))
+                for i in range(8))
+        if step == 0:
+            c1 = (ring[0] * ring[2] * ring[4]) == 0
+            c2 = (ring[2] * ring[4] * ring[6]) == 0
+        else:
+            c1 = (ring[0] * ring[2] * ring[6]) == 0
+            c2 = (ring[0] * ring[4] * ring[6]) == 0
+        cond = (center == 1) & (b >= 2) & (b <= 6) & (a == 1) & c1 & c2
+        img[1:-1, 1:-1][cond] = 0
+    return img[1:-1, 1:-1].astype(bool)
