@@ -171,3 +171,47 @@ def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
                         lab[rn, cn] = seed
                         stack.append((rn, cn))
     return lab
+
+
+def march_along_normals(points_yx: np.ndarray, step: np.ndarray,
+                        contour_mask: np.ndarray,
+                        direction: int = 1) -> np.ndarray:
+    """One marching half of ``centralize`` (wrapper.py:252-270): every
+    point advances by ``direction * step`` while the int-truncated NEXT
+    position stays inside the contour mask and inside the image — with
+    the reference's asymmetric bound quirk preserved and documented:
+    ``next_y >= 0`` but ``next_x > 0``, so leftward marches stop one
+    short of column 0 even when the mask covers it. Points stop
+    individually; the loop runs while any point still moves."""
+    h, w = contour_mask.shape
+    pos = np.asarray(points_yx, dtype=np.float64).copy()
+    step = np.asarray(step, dtype=np.float64) * direction
+    flags = np.ones(len(pos), dtype=bool)
+    while flags.any():
+        nxt = (pos + step).astype(np.int32)
+        ny, nx = nxt[:, 0], nxt[:, 1]
+        flags = ((ny >= 0) & (ny < h) & (nx > 0) & (nx < w)
+                 & contour_mask[np.clip(ny, 0, h - 1),
+                                np.clip(nx, 0, w - 1)])
+        pos = pos + flags[:, None] * step
+    return pos
+
+
+def centralize(points_yx: np.ndarray, normal_sin: np.ndarray,
+               normal_cos: np.ndarray, radius: np.ndarray,
+               contour_mask: np.ndarray,
+               step_ratio: float = 0.03) -> np.ndarray:
+    """Textsnake center-point refinement (wrapper.py:245-272): march
+    each skeleton point both ways along its normal (step =
+    step_ratio * radius * (sin, cos)) until the probe leaves the
+    contour mask; the center is the int32-truncated midpoint of the two
+    stopping positions. Same observable semantics as the reference,
+    including int32 probe truncation and the x-vs-y bound asymmetry
+    (see march_along_normals)."""
+    sin = np.asarray(normal_sin, dtype=np.float64).reshape(-1, 1)
+    cos = np.asarray(normal_cos, dtype=np.float64).reshape(-1, 1)
+    r = np.asarray(radius, dtype=np.float64).reshape(-1, 1)
+    step = step_ratio * r * np.hstack([sin, cos])
+    top = march_along_normals(points_yx, step, contour_mask, 1)
+    bot = march_along_normals(points_yx, step, contour_mask, -1)
+    return ((top + bot) * 0.5).astype(np.int32)

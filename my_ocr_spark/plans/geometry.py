@@ -1687,3 +1687,106 @@ def textsnake_center_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_TS_OUT)
+
+
+# --- textsnake centralize (normal marching, wrapper.py:245-272) -------------
+
+_CEN_OUT = T.StructType([
+    T.StructField("img_id", T.LongType(), False),
+    T.StructField("axis", T.StringType(), False),
+    T.StructField("top_pos", T.DoubleType(), False),
+    T.StructField("bot_pos", T.DoubleType(), False),
+    T.StructField("center_y", T.LongType(), False),
+    T.StructField("center_x", T.LongType(), False),
+])
+
+
+@query(
+    "centralize_normals",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS img_id, o_orderkey AS k,
+               CAST(0.25 AS DOUBLE) * (2 + 2 * (o_orderkey % 3)) AS s
+        FROM orders WHERE o_orderkey % 23 = 0),
+    cfg AS (
+        SELECT img_id, 'y' AS axis, s,
+               CAST(2 + k % 3 AS BIGINT) AS lo,
+               CAST(2 + k % 3 + 5 + k % 4 AS BIGINT) AS hi,
+               CAST(2 + k % 3 + k % (6 + k % 4) AS BIGINT) AS p0
+        FROM base WHERE k % 2 = 0
+        UNION ALL
+        SELECT img_id, 'x' AS axis, s,
+               greatest(CAST(k % 2 AS BIGINT), 1) AS lo,
+               CAST(9 + k % 5 AS BIGINT) AS hi,
+               CAST(k % 2 + 1 + k % (9 + k % 5 - k % 2) AS BIGINT) AS p0
+        FROM base WHERE k % 2 = 1),
+    m AS (
+        SELECT img_id, axis,
+               p0 + (ceil((hi + 1 - p0) / s) - 1) * s AS top_pos,
+               p0 - floor((p0 - lo) / s) * s AS bot_pos
+        FROM cfg)
+    SELECT img_id, axis, top_pos, bot_pos,
+           CASE WHEN axis = 'y'
+                THEN CAST(floor((top_pos + bot_pos) / 2) AS BIGINT)
+                ELSE 8 END AS center_y,
+           CASE WHEN axis = 'x'
+                THEN CAST(floor((top_pos + bot_pos) / 2) AS BIGINT)
+                ELSE 8 END AS center_x
+    FROM m
+    """,
+)
+def centralize_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textsnake centralize (wrapper.py:245-272): skeleton points march
+    both ways along their normals until the int-truncated probe leaves
+    the contour mask, center = truncated midpoint. Fixtures make every
+    stopping position closed-form: dyadic steps (0.25 * radius with
+    radius in {2,4,6} → step {0.5,1,1.5}, all arithmetic exact in
+    float64), bar masks with integer bounds, even keys marching
+    vertically and odd keys horizontally — the horizontal family pins
+    the reference's asymmetric ``next_x > 0`` bound (a leftward march
+    stops at column 1 even when the mask covers column 0; lo is
+    greatest(a, 1) in the oracle for exactly that reason). The kernel
+    runs the real per-point marching loop; the oracle computes the
+    stop counts as ceil/floor closed forms. One narrow mapInPandas."""
+    from my_ocr_spark.kernel.morphology import march_along_normals
+
+    o = (t(spark, sf_dir, "orders").select("o_orderkey")
+         .filter(F.col("o_orderkey") % 23 == 0))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"img_id": [], "axis": [], "top_pos": [],
+                   "bot_pos": [], "center_y": [], "center_x": []}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                s = 0.25 * (2 + 2 * (k % 3))
+                mask = np.zeros((16, 16), dtype=bool)
+                if k % 2 == 0:
+                    a = 2 + k % 3
+                    b = a + 5 + k % 4
+                    p0 = a + k % (b - a + 1)
+                    mask[a:b + 1, :] = True
+                    pts = np.array([[float(p0), 8.0]])
+                    step = np.array([[s, 0.0]])
+                    axis = "y"
+                else:
+                    a = k % 2
+                    b = 9 + k % 5
+                    p0 = a + 1 + k % (b - a)
+                    mask[:, a:b + 1] = True
+                    pts = np.array([[8.0, float(p0)]])
+                    step = np.array([[0.0, s]])
+                    axis = "x"
+                top = march_along_normals(pts, step, mask, 1)[0]
+                bot = march_along_normals(pts, step, mask, -1)[0]
+                dim = 0 if axis == "y" else 1
+                center = int((top[dim] + bot[dim]) * 0.5)  # trunc, +ve
+                out["img_id"].append(k)
+                out["axis"].append(axis)
+                out["top_pos"].append(float(top[dim]))
+                out["bot_pos"].append(float(bot[dim]))
+                out["center_y"].append(center if axis == "y" else 8)
+                out["center_x"].append(center if axis == "x" else 8)
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_CEN_OUT)

@@ -300,3 +300,35 @@ def skeletonize_one_pass(mask):
         cond = (center == 1) & (b >= 2) & (b <= 6) & (a == 1) & c1 & c2
         img[1:-1, 1:-1][cond] = 0
     return img[1:-1, 1:-1].astype(bool)
+
+
+def test_centralize_reference_semantics():
+    """centralize (wrapper.py:245-272): closed-form stopping positions
+    on bar masks, int32 midpoint truncation, and the reference's
+    asymmetric next_x > 0 bound (leftward marches stop at column 1 even
+    when the mask covers column 0)."""
+    import numpy as np
+
+    from my_ocr_spark.kernel.morphology import (
+        centralize, march_along_normals,
+    )
+
+    m = np.zeros((16, 16), bool)
+    m[3:10, :] = True                       # rows 3..9
+    pts = np.array([[4.0, 8.0]])
+    step = np.array([[0.5, 0.0]])
+    assert march_along_normals(pts, step, m, 1)[0, 0] == 9.5
+    assert march_along_normals(pts, step, m, -1)[0, 0] == 3.0
+    c = centralize(pts, [1.0], [0.0], [2.0], m, step_ratio=0.25)
+    assert (c[0] == [6, 8]).all()           # trunc((9.5+3)/2) = 6
+
+    full = np.ones((16, 16), bool)          # mask covers column 0...
+    left = march_along_normals(np.array([[8.0, 5.0]]),
+                               np.array([[0.0, 1.0]]), full, -1)
+    assert left[0, 1] == 1.0                # ...but next_x > 0 stops at 1
+
+    # vectorized: points stop individually
+    pts2 = np.array([[4.0, 8.0], [9.0, 8.0]])
+    step2 = np.array([[1.0, 0.0], [1.0, 0.0]])
+    top2 = march_along_normals(pts2, step2, m, 1)
+    assert top2[0, 0] == 9.0 and top2[1, 0] == 9.0
