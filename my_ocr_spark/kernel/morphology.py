@@ -146,7 +146,12 @@ def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
     where cv2.findContours + drawContours isolates each instance).
     Label = row-major index (r*w + c) of the component's first (and
     therefore minimum) pixel; background = -1. 8-connectivity by
-    default, matching contour semantics; pass 4 for strict edges."""
+    default, matching contour semantics; pass 4 for strict edges.
+
+    Intended for the small per-instance crops the decode chains
+    process: the per-pixel DFS carries Python-interpreter constants
+    (unlike the vectorized fill_hole/skeletonize siblings) — labeling
+    page-scale masks would want a scanline/union-find path instead."""
     m = np.asarray(mask) != 0
     h, w = m.shape
     lab = np.full((h, w), -1, dtype=np.int64)
@@ -173,6 +178,159 @@ def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
     return lab
 
 
+# clockwise Moore ring in image coordinates (y down):
+# E, SE, S, SW, W, NW, N, NE
+_TRACE_DIRS = ((0, 1), (1, 1), (1, 0), (1, -1),
+               (0, -1), (-1, -1), (-1, 0), (-1, 1))
+
+
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Trace the outer boundary of a single connected component as a
+    closed clockwise pixel walk — the ``cv2.findContours`` step of
+    db_decode (wrapper.py:207-208) and of the poly branch of
+    ``points2boundary`` (mask.py:41-43), as clean-room Moore-neighbor
+    tracing with Jacob's stopping criterion (both public textbook
+    algorithms):
+
+    * seed at the raster-first (topmost, then leftmost) foreground
+      pixel, whose west/north neighbors are background by construction,
+      with backtrack direction W;
+    * from backtrack direction ``b``, scan the 8-ring clockwise
+      starting at ``b + 1``; the first foreground neighbor is the next
+      boundary pixel, and the cell examined just before it (always
+      background) becomes the new backtrack;
+    * the emitted ring is the walk's CYCLE: it starts at the state
+      reached by the seed's first move (s1) and stops when that state
+      recurs — the transition-repeat form of Jacob's criterion, which
+      also terminates on shapes (diagonal strands) that re-enter the
+      seed pixel with a different backtrack than the artificial
+      initial W. One-pixel-wide limbs are walked out AND back.
+
+    Returns an (n, 2) int array of (row, col); a single isolated pixel
+    traces to itself. The walk visits boundary pixels of thin
+    structures more than once (by design — the ring is a closed
+    contour, not a pixel set) and follows the OUTER contour only:
+    pixels bordering interior holes are not on it (the reference's
+    RETR_LIST would emit hole contours as additional entries; the
+    db_decode chain fills/solidifies regions before tracing, so only
+    the outer ring is consumed)."""
+    m = np.asarray(mask) != 0
+    pix = np.argwhere(m)
+    if len(pix) == 0:
+        return np.empty((0, 2), dtype=np.int64)
+    h, w = m.shape
+    sr, sc = int(pix[0][0]), int(pix[0][1])
+
+    def successor(r: int, c: int, bdir: int):
+        for k in range(1, 9):
+            di = (bdir + k) % 8
+            dr, dc = _TRACE_DIRS[di]
+            rn, cn = r + dr, c + dc
+            if 0 <= rn < h and 0 <= cn < w and m[rn, cn]:
+                # new backtrack = the cell scanned just before the
+                # hit, at ring direction (di-1) from the OLD pixel;
+                # relative to the NEW pixel that is a pure function of
+                # di (consecutive ring cells are 8-adjacent):
+                # N,N,E,E,S,S,W,W for di = 0..7
+                return rn, cn, ((di // 2) * 2 + 6) % 8
+        return None
+
+    first = successor(sr, sc, 4)
+    if first is None:            # isolated single pixel
+        return np.asarray([[sr, sc]], dtype=np.int64)
+    walk = []
+    state = first
+    cap = 8 * len(pix) + 8       # safety: successor is deterministic,
+    while len(walk) <= cap:      # so the orbit must cycle well inside
+        walk.append(state[:2])
+        state = successor(*state)
+        if state == first:
+            break
+    return np.asarray(walk, dtype=np.int64)
+
+
+def compress_ring(walk: np.ndarray) -> np.ndarray:
+    """Collapse straight runs of a closed pixel walk to their corner
+    vertices — the CHAIN_APPROX_SIMPLE analog of the reference's
+    contour compression (wrapper.py:207-208; its db_decode then runs
+    approxPolyDP at 1% arc-length epsilon, which keeps exactly these
+    corners on rectilinear contours — documented divergence: we
+    compress exact-collinear runs only, never approximate). A vertex
+    survives iff its incoming step vector differs from its outgoing
+    one; walks of <= 2 pixels are returned unchanged."""
+    wk = np.asarray(walk)
+    n = len(wk)
+    if n <= 2:
+        return wk.copy()
+    out_step = np.roll(wk, -1, axis=0) - wk
+    in_step = wk - np.roll(wk, 1, axis=0)
+    keep = (out_step != in_step).any(axis=1)
+    return wk[keep]
+
+
+def db_decode_regions(prob_map: np.ndarray,
+                      mask_thr: float = 0.3,
+                      min_text_score: float = 0.3,
+                      min_text_width: float = 5.0,
+                      unclip_ratio: float = 1.5) -> list[dict]:
+    """The full DBNet bitmap decode chain (wrapper.py:177-229, quad
+    branch of mask.py:26-31), composed from this package's kernels:
+
+    binarize (prob > mask_thr) -> 8-connected components
+    (label_components) -> Moore boundary trace + corner compression
+    (the findContours/approxPolyDP stage) -> drop contours with < 4
+    vertices -> region score filter -> unclip (polyclip.unclip_polygon,
+    d = area*ratio/perimeter) -> min-area rect (geom2d) -> width filter.
+
+    Divergence, documented: the region score is the mean probability
+    over the component's own pixels (exact raster) rather than a
+    re-rasterization of the approximated polygon via fillPoly
+    (wrapper.py:153-165) — identical for solid components, which is
+    what the binarize stage emits.
+
+    Returns one dict per surviving region, in component-label order:
+    label, n_walk, n_vertices, ring (compressed (r,c) vertices), score,
+    area (traced-polygon shoelace), peri, unclip_d, rect_short,
+    rect_long."""
+    from my_ocr_spark.kernel.geom2d import min_area_rect_size
+    from my_ocr_spark.kernel.polyclip import (
+        polygon_area, polygon_perimeter, unclip_polygon,
+    )
+
+    prob = np.asarray(prob_map, dtype=np.float64)
+    text_mask = prob > mask_thr
+    labels = label_components(text_mask, connectivity=8)
+    regions: list[dict] = []
+    for lab in np.unique(labels[labels >= 0]):
+        comp = labels == lab
+        walk = trace_boundary(comp)
+        ring = compress_ring(walk)
+        if len(ring) < 4:
+            continue
+        score = float(prob[comp].sum() / comp.sum())
+        if score < min_text_score:
+            continue
+        poly_xy = ring[:, ::-1].astype(np.float64)  # (x=col, y=row)
+        area = polygon_area(poly_xy)
+        peri = polygon_perimeter(poly_xy)
+        if peri == 0.0:
+            continue
+        d = area * unclip_ratio / peri
+        expanded = unclip_polygon(poly_xy, unclip_ratio)
+        if len(expanded) == 0:
+            continue
+        short, long_ = min_area_rect_size(expanded)
+        if short <= min_text_width:
+            continue
+        regions.append({
+            "label": int(lab), "n_walk": int(len(walk)),
+            "n_vertices": int(len(ring)), "ring": ring,
+            "score": score, "area": area, "peri": peri,
+            "unclip_d": d, "rect_short": short, "rect_long": long_,
+        })
+    return regions
+
+
 def march_along_normals(points_yx: np.ndarray, step: np.ndarray,
                         contour_mask: np.ndarray,
                         direction: int = 1) -> np.ndarray:
@@ -182,11 +340,17 @@ def march_along_normals(points_yx: np.ndarray, step: np.ndarray,
     the reference's asymmetric bound quirk preserved and documented:
     ``next_y >= 0`` but ``next_x > 0``, so leftward marches stop one
     short of column 0 even when the mask covers it. Points stop
-    individually; the loop runs while any point still moves."""
+    individually; the loop runs while any point still moves.
+
+    Divergence guard (not in the reference, which shares the hang): a
+    point whose step is exactly (0, 0) — radius 0, or sin = cos = 0 —
+    would never leave the mask and loop forever; such points are
+    stopped up front (they can't move anyway)."""
     h, w = contour_mask.shape
     pos = np.asarray(points_yx, dtype=np.float64).copy()
-    step = np.asarray(step, dtype=np.float64) * direction
-    flags = np.ones(len(pos), dtype=bool)
+    step = np.broadcast_to(
+        np.asarray(step, dtype=np.float64) * direction, pos.shape)
+    flags = (step != 0.0).any(axis=1)
     while flags.any():
         nxt = (pos + step).astype(np.int32)
         ny, nx = nxt[:, 0], nxt[:, 1]

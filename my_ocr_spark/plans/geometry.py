@@ -1790,3 +1790,235 @@ def centralize_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_CEN_OUT)
+
+
+# --- DBNet bitmap decode: binarize -> trace -> unclip -> minAreaRect --------
+
+_DBD_OUT = T.StructType([
+    T.StructField("img_id", T.LongType(), False),
+    T.StructField("comp", T.LongType(), False),
+    T.StructField("n_walk", T.LongType(), False),
+    T.StructField("n_vertices", T.LongType(), False),
+    T.StructField("vtx_checksum", T.LongType(), False),
+    T.StructField("area2", T.LongType(), False),
+    T.StructField("peri", T.DoubleType(), False),
+    T.StructField("unclip_d", T.DoubleType(), False),
+    T.StructField("score", T.DoubleType(), False),
+    T.StructField("rect_short", T.DoubleType(), False),
+    T.StructField("rect_long", T.DoubleType(), False),
+])
+
+
+def _dbd_prob_numpy(k: int, rr: np.ndarray, cc: np.ndarray) -> np.ndarray:
+    """Three instances per 16x16 prob map, mirrored exactly by the SQL
+    ``cells`` expression in the oracle: a solid rectangle (keyed height
+    2..4 — the 2-tall family fails the width filter), an L (whose
+    8-connected trace crosses the reflex corner DIAGONALLY, putting one
+    sqrt(2) edge in the perimeter fold), and a 1-px-wide bar whose
+    compressed trace has 2 vertices — the reference's ``< 4 points``
+    drop. On-shape probability is dyadic (0.5 + (..%5)/16, always >
+    mask_thr) so binarize recovers the shapes and every score sum is
+    exact; background 0.125."""
+    a = (rr >= 1) & (rr <= 2 + k % 3) & (cc >= 1) & (cc <= 3 + k % 5)
+    bar = (cc == 13) & (rr >= 1) & (rr <= 4 + k % 3)
+    cb = 1 + k % 3
+    ell = (((rr >= 7) & (rr <= 13) & (cc >= cb) & (cc <= cb + 2))
+           | ((rr >= 11) & (rr <= 13) & (cc >= cb)
+              & (cc <= cb + 5 + k % 4)))
+    shape = a | bar | ell
+    return np.where(shape,
+                    0.5 + ((k * 7 + 3 * rr + 11 * cc) % 5) / 16.0,
+                    0.125)
+
+
+_DBD_ORACLE = """
+    WITH RECURSIVE keys AS (
+        SELECT o_orderkey AS img, o_orderkey AS k
+        FROM orders WHERE o_orderkey % 41 = 0),
+    dirs AS MATERIALIZED (
+        SELECT * FROM (VALUES (0,0,1),(1,1,1),(2,1,0),(3,1,-1),
+                              (4,0,-1),(5,-1,-1),(6,-1,0),(7,-1,1))
+            t(di, dr, dc)),
+    cells AS (
+        SELECT img, k, r, c,
+               ((r BETWEEN 1 AND 2 + k % 3 AND c BETWEEN 1 AND 3 + k % 5)
+                OR (c = 13 AND r BETWEEN 1 AND 4 + k % 3)
+                OR (r BETWEEN 7 AND 13
+                    AND c BETWEEN 1 + k % 3 AND 3 + k % 3)
+                OR (r BETWEEN 11 AND 13
+                    AND c BETWEEN 1 + k % 3 AND 6 + k % 3 + k % 4)) AS m
+        FROM keys,
+             (SELECT unnest(generate_series(0, 15)) AS r),
+             (SELECT unnest(generate_series(0, 15)) AS c)),
+    px AS MATERIALIZED (SELECT img, k, r, c FROM cells WHERE m),
+    lbl AS (
+        SELECT img, r, c, r * 16 + c AS lab FROM px
+        UNION
+        SELECT p.img, p.r, p.c, l.lab
+        FROM lbl l, dirs o
+        JOIN px p
+          ON p.img = l.img AND p.r = l.r + o.dr AND p.c = l.c + o.dc),
+    comp AS MATERIALIZED (
+        SELECT img, r, c, min(lab) AS comp FROM lbl GROUP BY img, r, c),
+    succ AS MATERIALIZED (
+        SELECT img, comp, r, c, bdir, nr, nc, nbdir FROM (
+            SELECT s.img, s.comp, s.r, s.c, b.bdir,
+                   p.r AS nr, p.c AS nc,
+                   ((d.di // 2) * 2 + 6) % 8 AS nbdir,
+                   row_number() OVER (
+                       PARTITION BY s.img, s.comp, s.r, s.c, b.bdir
+                       ORDER BY (d.di - b.bdir + 7) % 8) AS rn
+            FROM comp s
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bdir) b
+            CROSS JOIN dirs d
+            JOIN comp p
+              ON p.img = s.img AND p.comp = s.comp
+             AND p.r = s.r + d.dr AND p.c = s.c + d.dc)
+        WHERE rn = 1),
+    start AS MATERIALIZED (
+        SELECT img, comp, r, c FROM (
+            SELECT img, comp, r, c,
+                   row_number() OVER (
+                       PARTITION BY img, comp ORDER BY r, c) AS rn
+            FROM comp) WHERE rn = 1),
+    walk AS (
+        SELECT st.img, st.comp, 0 AS step,
+               u.nr AS r, u.nc AS c, u.nbdir AS bdir,
+               u.nr AS fr, u.nc AS fc, u.nbdir AS fb
+        FROM start st
+        JOIN succ u ON u.img = st.img AND u.comp = st.comp
+                   AND u.r = st.r AND u.c = st.c AND u.bdir = 4
+        UNION ALL
+        SELECT w.img, w.comp, w.step + 1, u.nr, u.nc, u.nbdir,
+               w.fr, w.fc, w.fb
+        FROM walk w
+        JOIN succ u ON u.img = w.img AND u.comp = w.comp
+                   AND u.r = w.r AND u.c = w.c AND u.bdir = w.bdir
+        WHERE NOT (u.nr = w.fr AND u.nc = w.fc AND u.nbdir = w.fb)),
+    wl AS MATERIALIZED (
+        SELECT img, comp, count(*) AS n FROM walk GROUP BY img, comp),
+    ring0 AS (
+        SELECT w.img, w.comp, w.step, w.r, w.c,
+               wn.r - w.r AS odr, wn.c - w.c AS odc,
+               w.r - wp.r AS idr, w.c - wp.c AS idc
+        FROM walk w
+        JOIN wl ON wl.img = w.img AND wl.comp = w.comp
+        JOIN walk wn ON wn.img = w.img AND wn.comp = w.comp
+                   AND wn.step = (w.step + 1) % wl.n
+        JOIN walk wp ON wp.img = w.img AND wp.comp = w.comp
+                   AND wp.step = (w.step + wl.n - 1) % wl.n),
+    verts AS (
+        SELECT img, comp, step, r, c,
+               row_number() OVER (
+                   PARTITION BY img, comp ORDER BY step) AS vi,
+               count(*) OVER (PARTITION BY img, comp) AS nv
+        FROM ring0 WHERE odr != idr OR odc != idc),
+    vend AS (
+        SELECT v.img, v.comp, v.vi, v.nv, v.r, v.c,
+               v2.r AS nr, v2.c AS nc
+        FROM verts v
+        JOIN verts v2 ON v2.img = v.img AND v2.comp = v.comp
+                     AND v2.vi = v.vi % v.nv + 1),
+    geom AS (
+        SELECT img, comp, max(nv) AS n_vertices,
+               abs(sum(c * nr - nc * r)) AS area2,
+               list_aggregate(list(sqrt(CAST((nr - r) * (nr - r)
+                   + (nc - c) * (nc - c) AS DOUBLE)) ORDER BY vi),
+                   'sum') AS peri,
+               min(r) AS mr, max(r) AS xr, min(c) AS mc, max(c) AS xc,
+               sum(vi * (r * 16 + c + 1)) AS vtx_checksum
+        FROM vend GROUP BY img, comp),
+    scores AS (
+        SELECT c.img, c.comp,
+               sum(0.5 + CAST((k.k * 7 + 3 * c.r + 11 * c.c) % 5
+                   AS DOUBLE) / 16.0) / count(*) AS score
+        FROM comp c JOIN keys k ON k.img = c.img
+        GROUP BY c.img, c.comp)
+    SELECT g.img AS img_id, CAST(g.comp AS BIGINT) AS comp,
+           CAST(wl.n AS BIGINT) AS n_walk,
+           CAST(g.n_vertices AS BIGINT) AS n_vertices,
+           CAST(g.vtx_checksum AS BIGINT) AS vtx_checksum,
+           CAST(g.area2 AS BIGINT) AS area2,
+           g.peri AS peri,
+           CAST(g.area2 AS DOUBLE) * 0.75 / g.peri AS unclip_d,
+           s.score AS score,
+           floor((least(g.xr - g.mr, g.xc - g.mc)
+                  + 2 * (CAST(g.area2 AS DOUBLE) * 0.75 / g.peri)) * 1e4
+                 + 0.5) / 1e4 AS rect_short,
+           floor((greatest(g.xr - g.mr, g.xc - g.mc)
+                  + 2 * (CAST(g.area2 AS DOUBLE) * 0.75 / g.peri)) * 1e4
+                 + 0.5) / 1e4 AS rect_long
+    FROM geom g
+    JOIN wl ON wl.img = g.img AND wl.comp = g.comp
+    JOIN scores s ON s.img = g.img AND s.comp = g.comp
+    WHERE g.n_vertices >= 4 AND s.score >= 0.62
+      AND least(g.xr - g.mr, g.xc - g.mc)
+          + 2 * (CAST(g.area2 AS DOUBLE) * 0.75 / g.peri) > 3.0
+"""
+
+
+@query("db_decode_boundaries", oracle=_DBD_ORACLE)
+def db_decode_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DBNet bitmap-decode chain composed end-to-end
+    (``db_decode``, wrapper.py:177-229 + the quad branch of
+    points2boundary, mask.py:26-31): binarize the prob map ->
+    8-connected components -> Moore boundary trace + collinear-run
+    compression (the findContours/approxPolyDP stage) -> drop < 4
+    vertices -> exact region-score filter -> unclip
+    (d = area*1.5/peri, polyclip.unclip_polygon miter offset) ->
+    min-area rect via hull + rotating calipers -> width filter.
+
+    The Spark side runs the real kernels for every stage
+    (kernel/morphology.db_decode_regions). The oracle replays the
+    trace EXACTLY in SQL: min-label component closure, then the Moore
+    successor relation materialized as a rank-1 clockwise scan over an
+    offsets table, then a pure-join recursive walk terminated on
+    recurrence of the first-move state (Jacob's criterion), then
+    direction-change compression — and the downstream stages in closed
+    form: shoelace area2 / left-to-right sqrt perimeter fold (one
+    diagonal edge per L — bit-exact vs numpy's sequential sum at < 8
+    edges), unclip_d = area2*0.75/peri (single correctly-rounded
+    division), and rect sides = ring bbox + 2d, which
+    test_morphology pins equal to the kernel's calipers output over
+    the whole fixture family (rectilinear-plus-one-diagonal shapes
+    whose min-area rect IS the axis bbox; 4dp floor-half-up rounding
+    margin also pinned there). Scores are exact dyadic sums. One
+    narrow mapInPandas over the key scan; all shuffles happen in
+    DuckDB only."""
+    from my_ocr_spark.kernel.morphology import db_decode_regions
+
+    o = (t(spark, sf_dir, "orders").select("o_orderkey")
+         .filter(F.col("o_orderkey") % 41 == 0))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rr, cc = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            out = {f.name: [] for f in _DBD_OUT.fields}
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                prob = _dbd_prob_numpy(k, rr, cc)
+                for reg in db_decode_regions(prob, mask_thr=0.3,
+                                             min_text_score=0.62,
+                                             min_text_width=3.0,
+                                             unclip_ratio=1.5):
+                    ring = reg["ring"]
+                    cs = sum((i + 1) * (int(r) * 16 + int(c) + 1)
+                             for i, (r, c) in enumerate(ring))
+                    out["img_id"].append(k)
+                    out["comp"].append(reg["label"])
+                    out["n_walk"].append(reg["n_walk"])
+                    out["n_vertices"].append(reg["n_vertices"])
+                    out["vtx_checksum"].append(int(cs))
+                    out["area2"].append(int(round(2 * reg["area"])))
+                    out["peri"].append(reg["peri"])
+                    out["unclip_d"].append(reg["unclip_d"])
+                    out["score"].append(reg["score"])
+                    out["rect_short"].append(
+                        float(np.floor(reg["rect_short"] * 1e4 + 0.5)
+                              / 1e4))
+                    out["rect_long"].append(
+                        float(np.floor(reg["rect_long"] * 1e4 + 0.5)
+                              / 1e4))
+            yield pd.DataFrame(out)
+
+    return o.mapInPandas(run, schema=_DBD_OUT)

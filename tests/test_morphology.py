@@ -332,3 +332,122 @@ def test_centralize_reference_semantics():
     step2 = np.array([[1.0, 0.0], [1.0, 0.0]])
     top2 = march_along_normals(pts2, step2, m, 1)
     assert top2[0, 0] == 9.0 and top2[1, 0] == 9.0
+
+
+# --- Moore boundary tracing + db_decode chain (round 5) ---------------------
+
+from my_ocr_spark.kernel.morphology import (  # noqa: E402
+    compress_ring, db_decode_regions, label_components, trace_boundary,
+)
+
+
+def test_trace_boundary_rectangle_corners():
+    m = np.zeros((8, 8), bool)
+    m[1:4, 1:5] = True
+    walk = trace_boundary(m)
+    ring = compress_ring(walk)
+    # closed clockwise ring over the 4 corners (start = first corner
+    # after the seed's first move)
+    assert ring.tolist() == [[1, 4], [3, 4], [3, 1], [1, 1]]
+    assert len(walk) == 10  # boundary pixel count of a 3x4 rect
+
+
+def test_trace_boundary_one_px_bar_two_vertices():
+    m = np.zeros((8, 8), bool)
+    m[2:6, 3] = True
+    walk = trace_boundary(m)
+    # out AND back: 6 walk steps over 4 pixels
+    assert walk.tolist() == [[3, 3], [4, 3], [5, 3], [4, 3], [3, 3],
+                             [2, 3]]
+    assert compress_ring(walk).tolist() == [[5, 3], [2, 3]]
+
+
+def test_trace_boundary_diagonal_terminates():
+    # re-enters the seed with a different backtrack than the initial W:
+    # the transition-repeat (s1) criterion must terminate where the
+    # naive seed-state criterion would loop forever
+    m = np.zeros((8, 8), bool)
+    for i in range(4):
+        m[i + 1, i + 1] = True
+    walk = trace_boundary(m)
+    assert walk.tolist() == [[2, 2], [3, 3], [4, 4], [3, 3], [2, 2],
+                             [1, 1]]
+
+
+def test_trace_boundary_single_pixel_and_empty():
+    m = np.zeros((4, 4), bool)
+    assert trace_boundary(m).shape == (0, 2)
+    m[2, 2] = True
+    assert trace_boundary(m).tolist() == [[2, 2]]
+
+
+def test_trace_boundary_random_soak_terminates_and_stays_inside():
+    rng = np.random.default_rng(7)
+    for _ in range(150):
+        m = rng.random((12, 12)) < 0.35
+        lab = label_components(m, 8)
+        for lv in np.unique(lab[lab >= 0]):
+            sel = lab == lv
+            walk = trace_boundary(sel)
+            assert len(walk) <= 8 * int(sel.sum()) + 8
+            assert all(sel[r, c] for r, c in walk)
+            # every OUTER boundary pixel is visited (the trace follows
+            # the outer contour only — pixels bordering interior holes
+            # are not on it, so test against the hole-filled shape,
+            # whose boundary pixels are exactly the outer ones)
+            filled = fill_hole(sel)
+            pad = np.pad(filled, 1)
+            interior = (pad[:-2, 1:-1] & pad[2:, 1:-1]
+                        & pad[1:-1, :-2] & pad[1:-1, 2:])
+            boundary = filled & ~interior
+            visited = np.zeros_like(sel)
+            visited[walk[:, 0], walk[:, 1]] = True
+            assert (boundary & ~visited).sum() == 0
+
+
+def test_db_decode_regions_golden_chain():
+    # one solid rect + one low-score rect + one 1-px bar
+    prob = np.full((12, 12), 0.1)
+    prob[1:5, 1:6] = 0.9          # kept: score .9, short side ~ 4.9
+    prob[7:10, 1:6] = 0.35        # dropped by score (< 0.5)
+    prob[2:7, 9] = 0.9            # dropped: 2-vertex contour
+    regs = db_decode_regions(prob, mask_thr=0.3, min_text_score=0.5,
+                             min_text_width=3.0, unclip_ratio=1.5)
+    assert [r["label"] for r in regs] == [1 * 12 + 1]
+    r = regs[0]
+    assert r["n_vertices"] == 4 and r["n_walk"] == 14
+    assert r["area"] == 12.0 and r["peri"] == 14.0  # 3x4 traced ring
+    assert abs(r["unclip_d"] - 12.0 * 1.5 / 14.0) < 1e-15
+    assert abs(r["rect_short"] - (3 + 2 * r["unclip_d"])) < 1e-9
+    assert abs(r["rect_long"] - (4 + 2 * r["unclip_d"])) < 1e-9
+
+
+def test_db_decode_fixture_family_closed_forms_hold():
+    """Pins every assumption the db_decode_boundaries oracle makes
+    about the fixture family, over all residue classes (lcm of the key
+    moduli): (a) exactly 3 components; (b) kept rings have 4 or 7
+    vertices (< 8 ⇒ numpy's perimeter sum is sequential, matching the
+    oracle's left-to-right fold); (c) the kernel's calipers rect ==
+    ring bbox + 2d to 1e-9 (the oracle's closed form); (d) no rect
+    side sits within 1e-6 of a 4dp floor-half-up boundary; (e) width
+    decisions have >= 0.05 margin."""
+    from my_ocr_spark.plans.geometry import _dbd_prob_numpy
+
+    rr, cc = np.mgrid[0:16, 0:16]
+    for k in range(420):  # lcm(3,5,4)=60 key residues, 7x over
+        prob = _dbd_prob_numpy(k, rr, cc)
+        labels = label_components(prob > 0.3, 8)
+        assert len(np.unique(labels[labels >= 0])) == 3
+        for reg in db_decode_regions(prob, 0.3, 0.62, 3.0, 1.5):
+            assert reg["n_vertices"] in (4, 7)
+            ring = reg["ring"]
+            h = ring[:, 0].max() - ring[:, 0].min()
+            w = ring[:, 1].max() - ring[:, 1].min()
+            d = reg["unclip_d"]
+            cf_short, cf_long = min(h, w) + 2 * d, max(h, w) + 2 * d
+            assert abs(cf_short - reg["rect_short"]) < 1e-9
+            assert abs(cf_long - reg["rect_long"]) < 1e-9
+            for x in (cf_short, cf_long):
+                fr = abs((x * 1e4 + 0.5) - round(x * 1e4 + 0.5))
+                assert fr > 1e-6
+            assert abs(cf_short - 3.0) > 0.05

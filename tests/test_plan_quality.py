@@ -202,13 +202,13 @@ def test_pixel_kernel_queries_are_narrow(spark, sf_dir):
     over the scan — no exchange, no join: per-mask work never needs
     other rows."""
     from my_ocr_spark.plans.geometry import (
-        centralize_normals, fill_holes_mask,
+        centralize_normals, db_decode_boundaries, fill_holes_mask,
         fourier_descriptor_roundtrip, skeletonize_masks,
         textsnake_center_decode,
     )
     for q in (fourier_descriptor_roundtrip, fill_holes_mask,
               skeletonize_masks, textsnake_center_decode,
-              centralize_normals):
+              centralize_normals, db_decode_boundaries):
         plan = _physical_plan(q(spark, sf_dir))
         assert "Exchange" not in plan, (q.__name__, plan)
         assert "Join" not in plan, (q.__name__, plan)
