@@ -6,7 +6,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 from my_ocr_spark.kernel.codec import DICT36, char_true_positives
@@ -273,6 +273,79 @@ def ic13_one2many(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.sum("pred_cover"), 6).alias("total_precision"))
              .filter((F.col("total_precision") >= 0.8)
                      & (F.col("n_gts") >= 2)))
+
+
+@query(
+    "ic13_one2one",
+    oracle=f"""
+    WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
+    q AS (
+        SELECT gt.img, gt.gt_id, pred.pred_id,
+               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+                   / (gt.e - gt.s) AS pair_recall,
+               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+                   / (pred.e - pred.s) AS pair_precision,
+               abs((gt.s + gt.e) / 2 - (pred.s + pred.e) / 2)
+                   / ((gt.e - gt.s) + (pred.e - pred.s)) * 2 AS norm_dist
+        FROM gt JOIN pred ON gt.img = pred.img
+        WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
+          AND greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+              / (gt.e - gt.s) > CAST(0.8 AS DOUBLE)
+          AND greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
+              / (pred.e - pred.s) > CAST(0.4 AS DOUBLE)
+    ),
+    cnt AS (
+        SELECT q.*,
+               count(*) OVER (PARTITION BY img, gt_id) AS ng,
+               count(*) OVER (PARTITION BY img, pred_id) AS nd
+        FROM q)
+    SELECT img, gt_id, pred_id, pair_recall, pair_precision, norm_dist
+    FROM cnt
+    WHERE ng = 1 AND nd = 1 AND norm_dist < CAST(1.0 AS DOUBLE)
+    """,
+)
+def ic13_one2one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC13 one-to-one matching (hmean_ic13.py:131-155 +
+    one2one_match_ic13, evaluation/utils.py:211-256): a (gt, pred) pair
+    matches iff the pair itself passes recall > 0.8 AND precision >
+    0.4, the gt has EXACTLY ONE such qualifying pred, the pred has
+    EXACTLY ONE such qualifying gt, and the normalized center distance
+    2*|c_gt - c_pred|/(diag_gt + diag_pred) is < 1.0. The reference's
+    sequential hit-flag loop is provably order-free here: a gt/pred hit
+    by an earlier one2one match cannot appear in a later qualifying
+    pair without violating that pair's exactly-one condition — so the
+    rule is a pure declarative join + two window counts (the 1-D
+    interval analog, midpoint for center and length for diagonal, as
+    in ic13_one2many/many2one). All emitted doubles are op-identical
+    expressions on both engines — raw, no rounding. Note: in 1-D a
+    qualifying pair always has norm_dist < 1 (recall > 0.8 bounds the
+    midpoint gap), so the gate is structurally satisfied here — it is
+    still evaluated on both sides and norm_dist is emitted as data;
+    only thin 2-D polygons can fail it in the reference."""
+    gt, pred = _gt_pred(spark, sf_dir)
+    p = pred.select("pred_id", F.col("img").alias("pimg"),
+                    F.col("s").alias("ps"), F.col("e").alias("pe"))
+    j = gt.join(p, gt.img == p.pimg)
+    inter = F.greatest(F.lit(0.0),
+                       F.least("e", "pe") - F.greatest("s", "ps"))
+    rec = inter / (F.col("e") - F.col("s"))
+    prec = inter / (F.col("pe") - F.col("ps"))
+    dist = (F.abs((F.col("s") + F.col("e")) / 2
+                  - (F.col("ps") + F.col("pe")) / 2)
+            / ((F.col("e") - F.col("s")) + (F.col("pe") - F.col("ps")))
+            * 2)
+    q = (j.filter(F.least("e", "pe") > F.greatest("s", "ps"))
+          .filter((rec > 0.8) & (prec > 0.4))
+          .select("img", "gt_id", "pred_id",
+                  rec.alias("pair_recall"), prec.alias("pair_precision"),
+                  dist.alias("norm_dist")))
+    wg = Window.partitionBy("img", "gt_id")
+    wp = Window.partitionBy("img", "pred_id")
+    return (q.withColumn("ng", F.count("*").over(wg))
+             .withColumn("nd", F.count("*").over(wp))
+             .filter((F.col("ng") == 1) & (F.col("nd") == 1)
+                     & (F.col("norm_dist") < 1.0))
+             .drop("ng", "nd"))
 
 
 @query(
