@@ -1310,17 +1310,18 @@ _GOPHER_PLANT_SQL = """
                     ELSE w0 END AS w"""
 
 
-def _gopher_oracle() -> str:
-    """DuckDB twin of gopher_repetition_filters: same normalized word
-    stream, same three gram statistics, same integer threshold gates."""
+def _gopher_oracle(plant: bool) -> str:
+    """DuckDB twin of the gopher queries: same normalized word stream
+    (optionally with the demo boilerplate plant), same three gram
+    statistics, same integer threshold gates."""
+    d = (f"d AS ({_GOPHER_PLANT_SQL} FROM d0)" if plant
+         else "d AS (SELECT doc_id, w0 AS w FROM d0)")
     return f"""
     WITH d0 AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w0
         FROM documents WHERE length(text) > 0
     ),
-    d AS ({_GOPHER_PLANT_SQL}
-        FROM d0
-    ),
+    {d},
     {_gopher_ctes('d')}
     SELECT * FROM gq
     """
@@ -1398,7 +1399,7 @@ def gopher_counts(d: DataFrame, materialize: bool = True) -> DataFrame:
         keep.alias("keep"))
 
 
-@query("gopher_repetition_filters", oracle=_gopher_oracle())
+@query("gopher_repetition_filters", oracle=_gopher_oracle(plant=False))
 def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (Rae et al. 2021,
     appendix A1.1 — the standard LLM-corpus repetition gates), word-level
@@ -1408,8 +1409,25 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts emitted as exact integers, the keep gate as pure integer
     comparisons — zero float rounding cross-engine. Plan: three
     combiner-friendly (doc, gram)->doc aggregations joined on doc_id
-    (see gopher_counts). Planted boilerplate (gopher_plant) proves the
-    gates fire on this corpus."""
+    (see gopher_counts). This registered query runs the CLEAN operator
+    on the unmodified corpus; gopher_filters_demo plants deterministic
+    boilerplate so every gate demonstrably fires."""
+    d0 = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+          .select("doc_id",
+                  F.split(normalized_col("text"), " ").alias("w")))
+    return gopher_counts(d0)
+
+
+@query("gopher_filters_demo", oracle=_gopher_oracle(plant=True))
+def gopher_filters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_repetition_filters over a DEMONSTRATION corpus: the
+    fixture layer (gopher_plant) repeats each 17th doc's first 5 words
+    8x before the gates run, so the top-word, top-bigram AND
+    duplicate-5-gram rules all provably fire and the oracle compare
+    exercises every branch (the clean synthetic corpus alone is too
+    uniform to trip the n-gram gates). The corpus mutation is fixture,
+    not operator semantics — the registered clean twin is
+    gopher_repetition_filters."""
     d0 = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
           .select("doc_id",
                   F.split(normalized_col("text"), " ").alias("w0")))
@@ -1474,10 +1492,16 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("bigint").alias("target_docs"))
 
 
-def _c4_oracle() -> str:
-    """DuckDB twin of c4_line_filters: identical line synthesis
-    (8-word windows, punctuation by (doc_id+i)%4, planted lorem/brace
-    in line 0) and identical integer/boolean rules."""
+def _c4_oracle(plant: bool) -> str:
+    """DuckDB twin of the c4 queries: identical line synthesis (8-word
+    windows, punctuation by (doc_id+i)%4; lorem/brace planted into
+    line 0 only in the demo variant) and identical integer/boolean
+    rules."""
+    planted = ("""
+               || CASE WHEN i = 0 AND doc_id % 23 = 0
+                       THEN ' lorem ipsum' ELSE '' END
+               || CASE WHEN i = 0 AND doc_id % 29 = 0
+                       THEN ' {{ code }}' ELSE '' END""" if plant else "")
     return f"""
     WITH d AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
@@ -1485,11 +1509,7 @@ def _c4_oracle() -> str:
     ),
     ln AS (
         SELECT doc_id, i,
-               array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ')
-               || CASE WHEN i = 0 AND doc_id % 23 = 0
-                       THEN ' lorem ipsum' ELSE '' END
-               || CASE WHEN i = 0 AND doc_id % 29 = 0
-                       THEN ' {{ code }}' ELSE '' END
+               array_to_string(w[i * 8 + 1 : i * 8 + 8], ' '){planted}
                || CASE WHEN (doc_id + i) % 4 != 0 THEN '.' ELSE '' END
                    AS line
         FROM (SELECT doc_id, w,
@@ -1517,40 +1537,14 @@ def _c4_oracle() -> str:
     """
 
 
-@query("c4_line_filters", oracle=_c4_oracle())
-def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style line/document cleaning rules (Raffel et al. 2020 §2.2 —
-    the other canonical LLM-corpus filter set next to the Gopher gates):
-    keep a line only if it ends in terminal punctuation AND has >= 5
-    words; drop any document containing 'lorem ipsum' or a curly brace
-    (code), or with < 3 surviving lines. The plain word-stream corpus
-    has no lines or punctuation, so both are synthesized
-    deterministically on BOTH engines (8-word windows; '.' appended
-    when (doc_id + line_idx) % 4 != 0; lorem/brace planted into line 0
-    of every 23rd/29th doc) — the RULES are the operator under test,
-    the plant guarantees each rule demonstrably fires. All counts exact
-    integers, gates pure boolean algebra; one explode + one groupBy
-    shuffle, no Python."""
-    d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-         .select("doc_id",
-                 F.split(normalized_col("text"), " ").alias("w")))
-    lines = d.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            "transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1),"
-            " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"))
-         .alias("i", "line0"))
-    line = F.concat(
-        F.col("line0"),
-        F.when((F.col("i") == 0) & (F.col("doc_id") % 23 == 0),
-               F.lit(" lorem ipsum")).otherwise(""),
-        F.when((F.col("i") == 0) & (F.col("doc_id") % 29 == 0),
-               F.lit(" { code }")).otherwise(""),
-        F.when((F.col("doc_id") + F.col("i")) % 4 != 0,
-               F.lit(".")).otherwise(""))
+def c4_doc_stats(lines: DataFrame) -> DataFrame:
+    """The C4 cleaning RULES (Raffel et al. 2020 §2.2) over a
+    (doc_id, line) table — the reusable operator: keep a line only if
+    it ends in terminal punctuation AND has >= 5 words; drop any
+    document containing 'lorem ipsum' or a curly brace (code), or with
+    < 3 surviving lines. All counts exact integers, gates pure boolean
+    algebra; one groupBy shuffle, no Python."""
     lk = lines.select(
-        "doc_id",
-        line.alias("line")).select(
         "doc_id",
         (F.col("line").endswith(".")
          & (F.size(F.split("line", " ")) >= 5)).alias("kept"),
@@ -1567,3 +1561,51 @@ def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("n_kept_lines") >= 3)
                      & ~F.col("has_lorem")
                      & ~F.col("has_brace")).alias("keep")))
+
+
+def _c4_lines(spark: SparkSession, sf_dir: str, plant: bool) -> DataFrame:
+    """Deterministic (doc_id, line) synthesis shared by both c4
+    queries: the plain word-stream corpus has no lines or punctuation,
+    so 8-word windows become lines and '.' is appended when
+    (doc_id + line_idx) % 4 != 0. The demo variant additionally plants
+    lorem/brace into line 0 of every 23rd/29th doc."""
+    d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+         .select("doc_id",
+                 F.split(normalized_col("text"), " ").alias("w")))
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, CAST(ceil(size(w) / 8.0) AS INT) - 1),"
+            " i -> array_join(slice(w, i * 8 + 1, 8), ' '))"))
+         .alias("i", "line0"))
+    parts = [F.col("line0")]
+    if plant:
+        parts += [
+            F.when((F.col("i") == 0) & (F.col("doc_id") % 23 == 0),
+                   F.lit(" lorem ipsum")).otherwise(""),
+            F.when((F.col("i") == 0) & (F.col("doc_id") % 29 == 0),
+                   F.lit(" { code }")).otherwise("")]
+    parts.append(F.when((F.col("doc_id") + F.col("i")) % 4 != 0,
+                        F.lit(".")).otherwise(""))
+    return lines.select("doc_id", F.concat(*parts).alias("line"))
+
+
+@query("c4_line_filters", oracle=_c4_oracle(plant=False))
+def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/document cleaning rules (c4_doc_stats — the other
+    canonical LLM-corpus filter set next to the Gopher gates) over the
+    deterministically synthesized line table, WITHOUT demonstration
+    plants: this registered query runs the clean rule operator; the
+    lorem/brace document gates are exercised by c4_line_filters_demo
+    (this corpus never contains them naturally)."""
+    return c4_doc_stats(_c4_lines(spark, sf_dir, plant=False))
+
+
+@query("c4_line_filters_demo", oracle=_c4_oracle(plant=True))
+def c4_line_filters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c4_line_filters over a DEMONSTRATION corpus: lorem ipsum and a
+    curly brace planted into line 0 of every 23rd/29th doc so both
+    document-drop rules provably fire in the oracle compare. The plant
+    is fixture, not operator semantics — the registered clean twin is
+    c4_line_filters."""
+    return c4_doc_stats(_c4_lines(spark, sf_dir, plant=True))
