@@ -96,6 +96,60 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id",
     return src.mapInPandas(run, schema=_BUCKET_SCHEMA)
 
 
+_PAIR_EDGE_SCHEMA = T.StructType([
+    T.StructField("src", T.LongType(), False),
+    T.StructField("dst", T.LongType(), False),
+])
+
+
+def cell_cosine_edges(nv: DataFrame, threshold: float,
+                      id_col: str = "vec_id", vec_col: str = "v",
+                      bucket_col: str = "bucket",
+                      norm_col: str = "nrm") -> DataFrame:
+    """All-pairs exact-cosine duplicate edges WITHIN each cell — the
+    SemDeDup pair-verify as one grouped map, replacing
+    [bucket self-join -> Catalyst fold filter]. Two wins that both
+    grow with scale: each vector crosses Arrow ONCE instead of once
+    per candidate pair (the join shipped O(sum per-cell²) fat vector
+    pairs — measured ~195 MB vs ~1.3 MB at sf0.1), and the cosine is a
+    vectorized numpy accumulation instead of an interpreted expression
+    tree per pair.
+
+    Bit-exact vs the Catalyst formulation by construction: the per-pair
+    dot accumulates in the SAME per-dimension left-to-right order as
+    ``_dot``'s ``acc + x`` fold (per-dim outer products, loop over
+    dims — the lsh_buckets pattern), and ``dot / (nrm_i * nrm_j)``
+    matches the expression op-for-op, so swapping implementations
+    changes no output and no oracle.
+
+    Compute stays sum-of-per-cell² (the SemDeDup contract — cells are
+    bounded by the codebook size); ids sorted per cell so emitted
+    (src, dst) always has src < dst. Cells of < 2 vectors emit
+    nothing."""
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "dst": pd.Series([], dtype="int64")})
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col]])
+        nrm = pdf[norm_col].to_numpy()
+        acc = np.zeros((n, n))
+        for d in range(mat.shape[1]):
+            col = mat[:, d]
+            acc = acc + col[:, None] * col[None, :]
+        cos = acc / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(n, 1)
+        keep = cos[iu, ju] >= threshold
+        return pd.DataFrame({"src": ids[iu[keep]], "dst": ids[ju[keep]]})
+
+    return (nv.select(bucket_col, id_col, vec_col, norm_col)
+            .groupBy(bucket_col).applyInPandas(run,
+                                               schema=_PAIR_EDGE_SCHEMA))
+
+
 def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).

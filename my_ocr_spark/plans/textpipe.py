@@ -1153,7 +1153,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE closure."""
     from my_ocr_spark.operators.graph import connected_components
     from my_ocr_spark.operators.similarity import (
-        _dot, ivf_assign, train_centroids_kmeans,
+        _dot, cell_cosine_edges, ivf_assign, train_centroids_kmeans,
     )
 
     base = (t(spark, sf_dir, "embeddings")
@@ -1185,13 +1185,12 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("vec_id", "v", "bucket")
           .withColumn("nrm", F.sqrt(_dot("v", "v"))))
     nv = nv.localCheckpoint(eager=True)
-    a, b = nv.alias("a"), nv.alias("b")
-    edges = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .filter(_dot(F.col("a.v"), F.col("b.v"))
-                     / (F.col("a.nrm") * F.col("b.nrm")) >= 0.95)
-             .select(F.col("a.vec_id").alias("src"),
-                     F.col("b.vec_id").alias("dst")))
+    # the exact-cosine verify runs cell-local inside one grouped map
+    # (cell_cosine_edges): same left-to-right fold as the Catalyst
+    # _dot expression, bit-exact — the old bucket self-join shipped
+    # every candidate pair's two fat vectors over Arrow and burned the
+    # rest interpreting the fold per pair
+    edges = cell_cosine_edges(nv, threshold=0.95)
     comp = connected_components(edges, "src", "dst")
     return (corpus.join(comp, corpus.vec_id == comp.node, "left")
             .select("vec_id",

@@ -275,3 +275,46 @@ def test_duplicate_spans_matches_bruteforce(spark):
                                     df_cap=10_000).collect()}
     assert got == brute(texts), (
         got - brute(texts), brute(texts) - got)
+
+
+def test_cell_cosine_edges_bitexact_vs_catalyst_fold(spark):
+    """cell_cosine_edges (vectorized grouped map) must emit EXACTLY the
+    pairs the old formulation did — bucket self-join filtered on the
+    Catalyst _dot fold — including pairs engineered to sit within
+    float noise of the 0.95 threshold. The per-dim outer-product
+    accumulation reproduces the fold's left-to-right order, so the set
+    equality is bit-exact, not approximate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from my_ocr_spark.operators.similarity import (
+        _dot, cell_cosine_edges,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    for bucket in range(5):
+        base = rng.normal(size=(6, 16))
+        for i in range(6):
+            rows.append((vid, bucket, base[i].tolist())); vid += 1
+            # a scaled near-exact dup (cos == 1 up to rounding) and a
+            # noisy variant that lands near the threshold
+            rows.append((vid, bucket, (base[i] * 1.25).tolist())); vid += 1
+            noisy = base[i] + rng.normal(scale=0.18, size=16)
+            rows.append((vid, bucket, noisy.tolist())); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "bucket", "v"]) \
+        .withColumn("v", F.expr("transform(v, x -> CAST(x AS DOUBLE))"))
+    nv = df.withColumn("nrm", F.sqrt(_dot("v", "v")))
+
+    a, b = nv.alias("a"), nv.alias("b")
+    old = {(r.src, r.dst) for r in
+           (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .filter(_dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm")) >= 0.95)
+            .select(F.col("a.vec_id").alias("src"),
+                    F.col("b.vec_id").alias("dst"))).collect()}
+    new = {(r.src, r.dst) for r in
+           cell_cosine_edges(nv, threshold=0.95).collect()}
+    assert old == new and len(new) >= 10, (len(new), old ^ new)
