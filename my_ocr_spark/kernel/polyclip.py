@@ -178,3 +178,80 @@ def unclip_polygon(poly, unclip_ratio: float = 1.5) -> np.ndarray:
         return np.empty((0, 2))
     d = area * unclip_ratio / peri
     return offset_polygon(poly, d)
+
+
+def quad_intersection_areas(subj: np.ndarray, clip: np.ndarray
+                            ) -> np.ndarray:
+    """Batch Sutherland–Hodgman for quad pairs: ``subj`` and ``clip``
+    are (n, 4, 2) vertex arrays (``clip`` convex), returns the n
+    intersection areas. Semantics identical to
+    ``poly_intersection_area`` pair-by-pair (differential-tested on
+    random rotated quads) but vectorized over the batch — the per-row
+    Python loop was ~134 us/pair and dominated poly_iou_match_2d at
+    realistic per-image densities; this runs the same 4 clip passes
+    with numpy scatter-appends instead.
+
+    Intersection of two convex quads has <= 8 vertices, so polygons
+    live in fixed (n, 8, 2) buffers with per-row vertex counts."""
+    subj = np.asarray(subj, dtype=np.float64)
+    clip = np.asarray(clip, dtype=np.float64)
+    n = len(subj)
+    if n == 0:
+        return np.zeros(0)
+    # normalize clip to CCW (interior = left of directed edges)
+    sx, sy = clip[:, :, 0], clip[:, :, 1]
+    signed = (sx * np.roll(sy, -1, axis=1)
+              - np.roll(sx, -1, axis=1) * sy).sum(axis=1)
+    clip = np.where((signed < 0)[:, None, None], clip[:, ::-1], clip)
+
+    maxv = 8
+    verts = np.zeros((n, maxv, 2))
+    verts[:, :4] = subj
+    cnt = np.full(n, 4, dtype=np.int64)
+    slot = np.arange(maxv)[None, :]
+    for i in range(4):
+        a = clip[:, i]
+        e = clip[:, (i + 1) % 4] - a
+        # side of every current vertex w.r.t. this clip edge
+        side = (e[:, None, 0] * (verts[:, :, 1] - a[:, None, 1])
+                - e[:, None, 1] * (verts[:, :, 0] - a[:, None, 0]))
+        valid = slot < cnt[:, None]
+        nxt = (slot + 1) % np.maximum(cnt, 1)[:, None]
+        q = np.take_along_axis(verts, nxt[:, :, None], axis=1)
+        sq = np.take_along_axis(side, nxt, axis=1)
+        p_in = side >= 0
+        q_in = sq >= 0
+        keep = valid & p_in
+        cross = valid & (p_in != q_in)
+        # per-j emit order is p (if kept) then the crossing point —
+        # slot positions come from one prefix sum, no per-slot loop
+        contrib = keep.astype(np.int64) + cross.astype(np.int64)
+        start = np.cumsum(contrib, axis=1) - contrib
+        out_c = contrib.sum(axis=1)
+        pos_p = start
+        pos_x = start + keep
+        sp_c, sq_c = side[cross], sq[cross]
+        t = sp_c / (sp_c - sq_c)
+        ipt = verts[cross] + t[:, None] * (q[cross] - verts[cross])
+        # flat scatter into the output buffer (kept vertices and
+        # crossing points have disjoint slots by construction)
+        out_v = np.zeros((n * maxv, 2))
+        base = np.arange(n)[:, None] * maxv
+        if cross.any():
+            out_v[(base + pos_x)[cross]] = ipt
+        if keep.any():
+            out_v[(base + pos_p)[keep]] = verts[keep]
+        verts, cnt = out_v.reshape(n, maxv, 2), out_c
+    mask = np.arange(maxv)[None, :] < cnt[:, None]
+    x = np.where(mask, verts[:, :, 0], 0.0)
+    y = np.where(mask, verts[:, :, 1], 0.0)
+    # shoelace over the ring; next-index wraps at cnt, padded slots
+    # contribute 0 because both (x, y) and the gathered next are 0 only
+    # when the wrap stays inside the mask — gather explicitly instead
+    nxt = (np.arange(maxv)[None, :] + 1) % np.maximum(cnt, 1)[:, None]
+    xn = np.take_along_axis(x, nxt, axis=1)
+    yn = np.take_along_axis(y, nxt, axis=1)
+    area2 = np.where(mask, x * yn - xn * y, 0.0).sum(axis=1)
+    out = np.abs(area2) / 2.0
+    out[cnt < 3] = 0.0
+    return out

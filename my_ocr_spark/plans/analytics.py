@@ -121,7 +121,19 @@ def _pdf_oracle() -> str:
     fall back to the other); same-line transitive chaining is the proven
     recursive-CTE min-label closure; x-gap segment splits and line/region
     ordering reproduce the kernel's sort keys (member order (x0, y0, word)
-    = (x0, input-idx), line order (y0, x0), region order = DFS path)."""
+    = (x0, input-idx), line order (y0, x0), region order = DFS path).
+
+    Every window ORDER BY carries a total-key tiebreaker (a per-box
+    uid from (linenumber, partkey, suppkey) — unique per page at both
+    scales — or the bid downstream) and the multi-consumer ``rb`` is
+    MATERIALIZED: full-duplicate boxes exist in this fixture, and
+    without a total key the flag pass and the cumsum pass (re-sorted
+    independently) ordered a duplicate pair differently — and DuckDB's
+    CTE inlining re-evaluated rb's row_number per consumer with
+    disagreeing bids, silently dropping a box at the comp join (both
+    found live by the sf0.1 full-registry sweep). Duplicates are
+    value-identical, so the pinned order changes no text — it only
+    makes the oracle deterministic."""
     boxes = """
     SELECT l_orderkey AS page_key,
            CAST(CASE WHEN l_orderkey % 2 = 0 AND l_linenumber % 2 = 1
@@ -129,20 +141,22 @@ def _pdf_oracle() -> str:
                 + (l_partkey % 5) * 30 AS DOUBLE) AS x0,
            CAST(((l_linenumber - 1) // 2) * 20
                 + (l_suppkey % 3) * 2 AS DOUBLE) AS y0,
-           'w' || CAST(l_partkey % 100 AS VARCHAR) AS word
+           'w' || CAST(l_partkey % 100 AS VARCHAR) AS word,
+           (l_linenumber * 100003 + l_partkey) * 100003 + l_suppkey
+               AS uid
     FROM lineitem WHERE l_orderkey % 10 = 0
     """
     lvl = ["""
     lvl0 AS (SELECT page_key, x0, y0, x0 + 8.0 * length(word) AS x1,
-                    y0 + 12.0 AS y1, word,
+                    y0 + 12.0 AS y1, word, uid,
                     '' AS path, 1 AS pref, FALSE AS leaf
              FROM boxes)"""]
     for k in range(7):
         lvl.append(f"""
     g{k} AS (SELECT *,
-        max(y1) OVER (PARTITION BY page_key, path ORDER BY y0, y1, x0, x1, word
+        max(y1) OVER (PARTITION BY page_key, path ORDER BY y0, y1, x0, x1, word, uid
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmy,
-        max(x1) OVER (PARTITION BY page_key, path ORDER BY x0, x1, y0, y1, word
+        max(x1) OVER (PARTITION BY page_key, path ORDER BY x0, x1, y0, y1, word, uid
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx
       FROM lvl{k}),
     f{k} AS (SELECT *,
@@ -152,14 +166,14 @@ def _pdf_oracle() -> str:
              THEN 0 ELSE 1 END AS fx
       FROM g{k}),
     b{k} AS (SELECT *,
-        sum(fy) OVER (PARTITION BY page_key, path ORDER BY y0, y1, x0, x1, word
+        sum(fy) OVER (PARTITION BY page_key, path ORDER BY y0, y1, x0, x1, word, uid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS by,
-        sum(fx) OVER (PARTITION BY page_key, path ORDER BY x0, x1, y0, y1, word
+        sum(fx) OVER (PARTITION BY page_key, path ORDER BY x0, x1, y0, y1, word, uid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bx,
         max(fy) OVER (PARTITION BY page_key, path) AS hy,
         max(fx) OVER (PARTITION BY page_key, path) AS hx
       FROM f{k}),
-    lvl{k + 1} AS (SELECT page_key, x0, y0, x1, y1, word,
+    lvl{k + 1} AS (SELECT page_key, x0, y0, x1, y1, word, uid,
         CASE WHEN leaf OR (hy = 0 AND hx = 0) THEN path
              WHEN (pref = 1 AND hy = 1) OR (pref = 0 AND hx = 0)
              THEN path || CAST(by AS VARCHAR)
@@ -173,9 +187,10 @@ def _pdf_oracle() -> str:
     return f"""
     WITH RECURSIVE boxes AS ({boxes}),
     {levels},
-    rb AS (SELECT page_key, path, x0, y0, x1, y1, word,
+    rb AS MATERIALIZED (
+           SELECT page_key, path, x0, y0, x1, y1, word,
              row_number() OVER (PARTITION BY page_key, path
-                                ORDER BY y0, x0, word) AS bid
+                                ORDER BY y0, x0, word, uid) AS bid
            FROM lvl7),
     e AS (SELECT a.page_key, a.path, a.bid AS src, b.bid AS dst
           FROM rb a JOIN rb b
@@ -197,18 +212,19 @@ def _pdf_oracle() -> str:
           FROM rb JOIN comp USING (page_key, path, bid)),
     seg0 AS (SELECT *,
         max(x1) OVER (PARTITION BY page_key, path, comp
-            ORDER BY x0, y0, word
+            ORDER BY x0, y0, word, bid
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmx
       FROM m),
     seg AS (SELECT *,
         sum(CASE WHEN pmx IS NOT NULL AND x0 - pmx > 10.0
                  THEN 1 ELSE 0 END)
-          OVER (PARTITION BY page_key, path, comp ORDER BY x0, y0, word
+          OVER (PARTITION BY page_key, path, comp
+                ORDER BY x0, y0, word, bid
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM seg0),
     lines AS (SELECT page_key, path, comp, sid,
                 min(y0) AS ly0, min(x0) AS lx0,
-                string_agg(word, ' ' ORDER BY x0, y0, word) AS ltext
+                string_agg(word, ' ' ORDER BY x0, y0, word, bid) AS ltext
               FROM seg GROUP BY 1, 2, 3, 4),
     agg AS (SELECT page_key,
               CAST(count(*) AS INTEGER) AS n_lines,

@@ -577,7 +577,11 @@ _ST_YS_SPARK = """
                len(word) AS wl
         FROM expl
     ),
-    bnd AS (
+    bnd AS MATERIALIZED (
+        -- materialized: inlining this into the final shoelace
+        -- projection stacks three levels of list-lambda expressions
+        -- and exhausted DuckDB's memory limit at sf0.1 (found by the
+        -- full-registry sweep); materialized it peaks at ~0.7 GB
         SELECT inst_id, wpos, word, wl,
                {_ST_XS_SQL} AS xs, {_ST_YS_SQL} AS ys
         FROM segd

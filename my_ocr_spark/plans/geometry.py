@@ -285,7 +285,7 @@ def hmean_ranklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUAD_GT_SQL = """
     SELECT o_orderkey AS gt_id,
-           o_orderkey % 2000 AS img,
+           o_orderkey // 10 AS img,
            CAST(o_orderkey % 97 AS DOUBLE) AS x0,
            CAST(o_orderkey % 83 AS DOUBLE) AS y0,
            CAST(o_orderkey % 97 + 15 + o_orderkey % 23 AS DOUBLE) AS x1,
@@ -294,7 +294,7 @@ _QUAD_GT_SQL = """
 """
 _QUAD_PRED_SQL = """
     SELECT l_orderkey * 10 + l_linenumber AS pred_id,
-           l_orderkey % 2000 AS img,
+           l_orderkey // 10 AS img,
            CAST(l_partkey % 97 AS DOUBLE) AS x0,
            CAST(l_suppkey % 83 AS DOUBLE) AS y0,
            CAST(l_partkey % 97 + 14 + l_partkey % 25 AS DOUBLE) AS x1,
@@ -307,7 +307,7 @@ def _quad_tables(spark: SparkSession, sf_dir: str):
     o = t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     gt = o.select(
-        k.alias("gt_id"), (k % 2000).alias("img"),
+        k.alias("gt_id"), F.expr("o_orderkey div 10").alias("img"),
         (k % 97).cast("double").alias("x0"),
         (k % 83).cast("double").alias("y0"),
         (k % 97 + 15 + k % 23).cast("double").alias("x1"),
@@ -315,7 +315,7 @@ def _quad_tables(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
     pred = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pred_id"),
-        (F.col("l_orderkey") % 2000).alias("img"),
+        F.expr("l_orderkey div 10").alias("img"),
         (F.col("l_partkey") % 97).cast("double").alias("x0"),
         (F.col("l_suppkey") % 83).cast("double").alias("y0"),
         (F.col("l_partkey") % 97 + 14 + F.col("l_partkey") % 25)
@@ -365,6 +365,11 @@ def poly_iou_match_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: equi-join on img bounds the pair count; a CHEAP JVM
     bbox-overlap predicate prunes pairs before the Arrow-batched clip
     kernel sees them (expensive geometry only on plausible pairs).
+    The synthetic img key is orderkey // 10 so PER-IMAGE density stays
+    constant as SF grows — the old % 2000 key packed 75x300 boxes per
+    image at sf0.1 (45M raw pairs, quadratic in SF; hung the sweep),
+    which no real page exhibits: images must scale with data, box
+    counts per image must not (the round-1 join-key lesson).
     Determinism: integer-valued coords make the clipped area an exact
     integer, so `inter` is rounded to BIGINT and the IoU division is
     bit-identical to the closed-form DuckDB oracle — no float rounding
@@ -385,20 +390,28 @@ def poly_iou_match_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.x1").alias("px1"), F.col("p.y1").alias("py1"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch Sutherland–Hodgman (kernel/polyclip.quad_intersection_
+        # areas): the old per-row itertuples + scalar clip was the
+        # per-row-Python anti-pattern and dominated the query at
+        # realistic pair densities (differential-tested equal)
         for pdf in batches:
-            inter_l, iou_l = [], []
-            for r in pdf.itertuples(index=False):
-                a = [r.gx0, r.gy0, r.gx1, r.gy0, r.gx1, r.gy1, r.gx0, r.gy1]
-                b = [r.px0, r.py0, r.px1, r.py0, r.px1, r.py1, r.px0, r.py1]
-                inter = int(round(pc.poly_intersection_area(a, b)))
-                sum_areas = ((r.gx1 - r.gx0) * (r.gy1 - r.gy0)
-                             + (r.px1 - r.px0) * (r.py1 - r.py0))
-                inter_l.append(inter)
-                iou_l.append(inter / (sum_areas - inter))
+            g = np.stack([pdf[c].to_numpy() for c in
+                          ("gx0", "gy0", "gx1", "gy1")], axis=1)
+            p = np.stack([pdf[c].to_numpy() for c in
+                          ("px0", "py0", "px1", "py1")], axis=1)
+            quads_g = np.stack([g[:, [0, 1]], g[:, [2, 1]],
+                                g[:, [2, 3]], g[:, [0, 3]]], axis=1)
+            quads_p = np.stack([p[:, [0, 1]], p[:, [2, 1]],
+                                p[:, [2, 3]], p[:, [0, 3]]], axis=1)
+            areas = pc.quad_intersection_areas(quads_g, quads_p)
+            inter = np.floor(areas + 0.5).astype(np.int64)
+            sum_areas = ((g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+                         + (p[:, 2] - p[:, 0]) * (p[:, 3] - p[:, 1]))
             yield pd.DataFrame({
                 "gt_id": pdf["gt_id"], "pred_id": pdf["pred_id"],
-                "inter": pd.Series(inter_l, dtype="int64"),
-                "iou": pd.Series(iou_l, dtype="float64")})
+                "inter": pd.Series(inter, dtype="int64"),
+                "iou": pd.Series(inter / (sum_areas - inter),
+                                 dtype="float64")})
 
     out = pairs.mapInPandas(run, schema=_IOU2D_OUT)
     return out.filter(F.col("iou") > 0.3)
@@ -652,18 +665,19 @@ def merge_disks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH boxes AS (
         SELECT l_orderkey AS img, l_linenumber AS line_no,
+               l_partkey AS pk, l_suppkey AS sk,
                CAST((l_partkey % 50) * 12 AS DOUBLE) AS x0,
                CAST((l_partkey % 50) * 12 + 8 + l_suppkey % 7 AS DOUBLE)
                    AS x1
         FROM lineitem
     ),
     flagged AS (
-        SELECT img, line_no, x0, x1,
+        SELECT img, line_no, x0, x1, pk, sk,
                CASE WHEN x0 - max(x1) OVER
-                    (PARTITION BY img, line_no ORDER BY x0, x1
+                    (PARTITION BY img, line_no ORDER BY x0, x1, pk, sk
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 15
                     OR max(x1) OVER
-                    (PARTITION BY img, line_no ORDER BY x0, x1
+                    (PARTITION BY img, line_no ORDER BY x0, x1, pk, sk
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     IS NULL
                THEN 1 ELSE 0 END AS new_seg
@@ -672,7 +686,7 @@ def merge_disks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs AS (
         SELECT img, line_no,
                sum(new_seg) OVER (PARTITION BY img, line_no
-                                  ORDER BY x0, x1
+                                  ORDER BY x0, x1, pk, sk
                                   ROWS UNBOUNDED PRECEDING) AS seg
         FROM flagged
     )
@@ -684,16 +698,25 @@ def stitch_words_gap_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stitch_boxes_into_lines gap splitting (box_util.py:65-98) in pure
     window algebra: running max(x1) over x-order, gap>max_x_dist opens a
     segment, running sum assigns segment ids — the same sessionization
-    skeleton as sessionize_events, on spatial data."""
+    skeleton as sessionize_events, on spatial data.
+
+    Both window passes order by a TOTAL key — (x0, x1, partkey,
+    suppkey), unique per box at both scales: the flag pass and the
+    cumsum pass re-sort independently in the oracle, and tied (x0, x1)
+    rows landing in different orders per pass corrupted segment ids
+    nondeterministically (found by the sf0.1 sweep; the round-3
+    pdf_reading_order lesson recurring)."""
     li = t(spark, sf_dir, "lineitem")
     boxes = li.select(
         F.col("l_orderkey").alias("img"),
         F.col("l_linenumber").alias("line_no"),
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"),
         ((F.col("l_partkey") % 50) * 12).cast("double").alias("x0"),
         ((F.col("l_partkey") % 50) * 12 + 8 + F.col("l_suppkey") % 7)
         .cast("double").alias("x1"),
     )
-    w = Window.partitionBy("img", "line_no").orderBy("x0", "x1")
+    w = Window.partitionBy("img", "line_no").orderBy("x0", "x1",
+                                                     "pk", "sk")
     prev_max = F.max("x1").over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     new_seg = F.when(prev_max.isNull()

@@ -16,7 +16,7 @@ from my_ocr_spark.plans.registry import query, t
     "drrg_local_knn",
     oracle="""
     WITH raw AS (
-        SELECT DISTINCT l_orderkey % 2000 AS img,
+        SELECT DISTINCT l_orderkey // 10 AS img,
                CAST(l_partkey % 200 AS BIGINT) AS x,
                CAST(l_suppkey % 150 AS BIGINT) AS y
         FROM lineitem
@@ -48,13 +48,17 @@ def drrg_local_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny groups bucketed 256-way (see operators/knn.py). Components are
     DISTINCT coordinate points (pid = x*150+y is unique within an img by
     construction — the synthetic lineitem has no unique natural key).
+    The img key is orderkey // 10 so per-image point counts stay
+    CONSTANT as SF grows (the % 2000 key packed ~300 points/img at
+    sf0.1 and made the oracle's per-image self-join quadratic in SF —
+    the round-1 join-key lesson; real pages have bounded components).
     Oracle: the equivalent windowed self-join (exact: integer coords →
     integer dist2, deterministic tie-break)."""
     from my_ocr_spark.operators.knn import knn_per_group
 
     li = t(spark, sf_dir, "lineitem")
     raw = li.select(
-        (F.col("l_orderkey") % 2000).alias("img"),
+        F.expr("l_orderkey div 10").alias("img"),
         (F.col("l_partkey") % 200).cast("bigint").alias("x"),
         (F.col("l_suppkey") % 150).cast("bigint").alias("y")).distinct()
     pts = raw.select(

@@ -205,16 +205,15 @@ def char_precision_recall_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
     pairs AS (
-        SELECT gt.gt_id, gt.img, pred.pred_id,
-               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
-                   / (gt.e - gt.s) AS gt_cover
+        SELECT gt.gt_id, gt.img, gt.e - gt.s AS glen,
+               least(gt.e, pred.e) - greatest(gt.s, pred.s) AS inter
         FROM gt JOIN pred ON gt.img = pred.img
         WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
     )
     SELECT gt_id, img, count(*) AS n_preds,
-           round(sum(gt_cover), 6) AS total_recall
+           CAST(sum(inter) AS DOUBLE) / any_value(glen) AS total_recall
     FROM pairs GROUP BY gt_id, img
-    HAVING round(sum(gt_cover), 6) >= CAST(0.8 AS DOUBLE)
+    HAVING sum(inter) * 10 >= 8 * any_value(glen)
        AND count(*) >= 2
     """,
 )
@@ -222,20 +221,31 @@ def ic13_many2one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IC13 many-to-one matching (hmean_ic13.py:7-216, one_2_many/
     many_2_one at evaluation/utils.py:211-349): a GT matched by the UNION
     of several predictions — post-join groupBy(gt) with summed coverage
-    threshold. Same grouped-join shape as hmean, different aggregate."""
+    threshold. Same grouped-join shape as hmean, different aggregate.
+
+    The summed coverage has a CONSTANT denominator within the group
+    (the gt length), so it is summed as exact integer-valued
+    intersections with ONE final division, and the threshold is a pure
+    integer comparison — bit-exact and order-free at any scale (the
+    old per-pair-divide + 6dp-rounded float sum hit a rounding-boundary
+    mismatch at sf0.1)."""
     gt, pred = _gt_pred(spark, sf_dir)
     p = pred.select("pred_id", F.col("img").alias("pimg"),
                     F.col("s").alias("ps"), F.col("e").alias("pe"))
     j = gt.join(p, gt.img == p.pimg)
-    inter = F.greatest(F.lit(0.0),
-                       F.least("e", "pe") - F.greatest("s", "ps"))
+    inter = F.least("e", "pe") - F.greatest("s", "ps")
     j = (j.filter(F.least("e", "pe") > F.greatest("s", "ps"))
-          .withColumn("gt_cover", inter / (F.col("e") - F.col("s"))))
+          .select("gt_id", "img", (F.col("e") - F.col("s")).alias("glen"),
+                  inter.alias("inter")))
     return (j.groupBy("gt_id", "img")
              .agg(F.count("*").alias("n_preds"),
-                  F.round(F.sum("gt_cover"), 6).alias("total_recall"))
-             .filter((F.col("total_recall") >= 0.8)
-                     & (F.col("n_preds") >= 2)))
+                  F.sum("inter").alias("si"),
+                  F.first("glen").alias("glen"))
+             .filter((F.col("si") * 10 >= 8 * F.col("glen"))
+                     & (F.col("n_preds") >= 2))
+             .select("gt_id", "img", "n_preds",
+                     (F.col("si").cast("double") / F.col("glen"))
+                     .alias("total_recall")))
 
 
 @query(
@@ -243,36 +253,46 @@ def ic13_many2one(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
     pairs AS (
-        SELECT pred.pred_id, pred.img, gt.gt_id,
-               greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
-                   / (pred.e - pred.s) AS pred_cover
+        SELECT pred.pred_id, pred.img, pred.s, pred.e,
+               least(gt.e, pred.e) - greatest(gt.s, pred.s) AS inter
         FROM gt JOIN pred ON gt.img = pred.img
         WHERE least(gt.e, pred.e) > greatest(gt.s, pred.s)
     )
     SELECT pred_id, img, count(*) AS n_gts,
-           round(sum(pred_cover), 6) AS total_precision
-    FROM pairs GROUP BY pred_id, img
-    HAVING round(sum(pred_cover), 6) >= CAST(0.8 AS DOUBLE)
+           CAST(sum(inter) AS DOUBLE) / (e - s) AS total_precision
+    FROM pairs GROUP BY pred_id, img, s, e
+    HAVING sum(inter) * 10 >= 8 * (e - s)
        AND count(*) >= 2
     """,
 )
 def ic13_one2many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IC13 one-to-many matching (hmean_ic13.py / evaluation/utils.py:
     211-349): one prediction covering the union of several GTs — the
-    symmetric grouped-join of ic13_many2one, grouped on the pred side."""
+    symmetric grouped-join of ic13_many2one, grouped on the pred side.
+    Same exact-integer-sum + single-division rewrite as ic13_many2one
+    (the per-pair-divide + 6dp-rounded sum diverged at sf0.1) — but
+    grouped by the FULL physical box identity (pred_id, img, s, e):
+    the synthetic pred_id collides across lineitems (linenumbers pass
+    9), and the reference matches physical boxes, not ids, so a
+    collided id must not merge two boxes into one pseudo-box (it also
+    broke the constant-denominator invariant the single division
+    relies on)."""
     gt, pred = _gt_pred(spark, sf_dir)
     g = gt.select(F.col("gt_id"), F.col("img").alias("gimg"),
                   F.col("s").alias("gs"), F.col("e").alias("ge"))
     j = pred.join(g, pred.img == g.gimg)
-    inter = F.greatest(F.lit(0.0),
-                       F.least("e", "ge") - F.greatest("s", "gs"))
+    inter = F.least("e", "ge") - F.greatest("s", "gs")
     j = (j.filter(F.least("e", "ge") > F.greatest("s", "gs"))
-          .withColumn("pred_cover", inter / (F.col("e") - F.col("s"))))
-    return (j.groupBy("pred_id", "img")
+          .select("pred_id", "img", "s", "e", inter.alias("inter")))
+    plen = F.col("e") - F.col("s")
+    return (j.groupBy("pred_id", "img", "s", "e")
              .agg(F.count("*").alias("n_gts"),
-                  F.round(F.sum("pred_cover"), 6).alias("total_precision"))
-             .filter((F.col("total_precision") >= 0.8)
-                     & (F.col("n_gts") >= 2)))
+                  F.sum("inter").alias("si"))
+             .filter((F.col("si") * 10 >= 8 * plen)
+                     & (F.col("n_gts") >= 2))
+             .select("pred_id", "img", "n_gts",
+                     (F.col("si").cast("double") / plen)
+                     .alias("total_precision")))
 
 
 @query(
@@ -280,7 +300,8 @@ def ic13_one2many(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH gt AS ({_GT_SQL}), pred AS ({_PRED_SQL}),
     q AS (
-        SELECT gt.img, gt.gt_id, pred.pred_id,
+        SELECT gt.img, gt.gt_id, pred.pred_id, pred.s AS ps,
+               pred.e AS pe,
                greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
                    / (gt.e - gt.s) AS pair_recall,
                greatest(0.0, least(gt.e, pred.e) - greatest(gt.s, pred.s))
@@ -297,7 +318,7 @@ def ic13_one2many(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (
         SELECT q.*,
                count(*) OVER (PARTITION BY img, gt_id) AS ng,
-               count(*) OVER (PARTITION BY img, pred_id) AS nd
+               count(*) OVER (PARTITION BY img, pred_id, ps, pe) AS nd
         FROM q)
     SELECT img, gt_id, pred_id, pair_recall, pair_precision, norm_dist
     FROM cnt
@@ -321,7 +342,10 @@ def ic13_one2one(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair always has norm_dist < 1 (recall > 0.8 bounds the
     midpoint gap), so the gate is structurally satisfied here — it is
     still evaluated on both sides and norm_dist is emitted as data;
-    only thin 2-D polygons can fail it in the reference."""
+    only thin 2-D polygons can fail it in the reference. The pred-side
+    uniqueness window partitions by the FULL physical box identity
+    (img, pred_id, s, e) — the synthetic pred_id collides across
+    lineitems, and the reference counts physical boxes, not ids."""
     gt, pred = _gt_pred(spark, sf_dir)
     p = pred.select("pred_id", F.col("img").alias("pimg"),
                     F.col("s").alias("ps"), F.col("e").alias("pe"))
@@ -336,16 +360,16 @@ def ic13_one2one(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 2)
     q = (j.filter(F.least("e", "pe") > F.greatest("s", "ps"))
           .filter((rec > 0.8) & (prec > 0.4))
-          .select("img", "gt_id", "pred_id",
+          .select("img", "gt_id", "pred_id", "ps", "pe",
                   rec.alias("pair_recall"), prec.alias("pair_precision"),
                   dist.alias("norm_dist")))
     wg = Window.partitionBy("img", "gt_id")
-    wp = Window.partitionBy("img", "pred_id")
+    wp = Window.partitionBy("img", "pred_id", "ps", "pe")
     return (q.withColumn("ng", F.count("*").over(wg))
              .withColumn("nd", F.count("*").over(wp))
              .filter((F.col("ng") == 1) & (F.col("nd") == 1)
                      & (F.col("norm_dist") < 1.0))
-             .drop("ng", "nd"))
+             .drop("ng", "nd", "ps", "pe"))
 
 
 @query(

@@ -1,0 +1,94 @@
+"""Resumable full-registry hash check at sf0.1: runs every queries()
+entry vs its oracle at /root/testdata/sf0.1, appending one JSON line
+per query to scripts/sf01_results.jsonl and SKIPPING names already
+recorded — so the sweep survives tool/session time limits and is
+re-invoked until complete. Wall time per query is recorded too (the
+sweep doubles as a coarse per-query sf0.1 cost profile).
+
+Usage: python scripts/check_sf01_all.py [budget_seconds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from check_correctness import TABLES, canon, value_hash  # noqa: E402
+
+OUT = "/root/repo/scripts/sf01_results.jsonl"
+SF = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
+    skip = set(sys.argv[2:])   # probe slow queries separately
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            done = {json.loads(ln)["name"] for ln in f if ln.strip()}
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from my_ocr_spark.session import get_spark
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    todo = [n for n in qs if n not in done and n not in skip]
+    if not todo:
+        print("sweep complete:", len(done), "queries")
+        return 0
+
+    spark = get_spark(app_name="sf01_sweep", master="local[16]",
+                      shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    t_start = time.time()
+    for name in todo:
+        if time.time() - t_start > budget:
+            print(f"budget reached; {len(todo)} remaining at start, "
+                  "re-invoke to continue")
+            break
+        rec = {"name": name, "sf": 0.1}
+        t0 = time.time()
+        try:
+            sdf = canon(qs[name](spark, SF).toPandas())
+            rec["spark_rows"] = len(sdf)
+            rec["spark_sec"] = round(time.time() - t0, 2)
+            if name not in oracles:
+                rec["status"] = "rows_only"
+            else:
+                t1 = time.time()
+                odf = canon(con.execute(oracles[name]).df())
+                rec["oracle_rows"] = len(odf)
+                rec["oracle_sec"] = round(time.time() - t1, 2)
+                if len(sdf) != len(odf):
+                    rec["status"] = "ROWS_MISMATCH"
+                elif list(sdf.columns) != list(odf.columns):
+                    rec["status"] = "SCHEMA_MISMATCH"
+                elif value_hash(sdf) != value_hash(odf):
+                    rec["status"] = "HASH_MISMATCH"
+                    rec["diff_cols"] = [
+                        c for c in sdf.columns
+                        if not sdf[c].astype(str).equals(
+                            odf[c].astype(str))]
+                else:
+                    rec["status"] = "ok"
+        except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+            rec["status"] = "ERROR"
+            rec["err"] = str(exc)[:400]
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(rec["status"], name, rec.get("spark_sec"), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -138,3 +138,35 @@ def test_degenerate_inputs_never_raise():
     assert pc.poly_iou([0, 0, 0, 0, 0, 0, 0, 0], SQ) == 0.0
     assert len(pc.offset_polygon([0, 0, 1, 1], -1)) == 0
     assert pc.polygon_area([]) == 0.0
+
+
+def test_quad_intersection_areas_batch_matches_scalar():
+    """The batch Sutherland–Hodgman (quad_intersection_areas) must equal
+    the scalar kernel pair-by-pair on random ROTATED quads — including
+    disjoint pairs (area 0) and either clip orientation."""
+    import numpy as np
+
+    from my_ocr_spark.kernel.polyclip import (
+        poly_intersection_area, quad_intersection_areas,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def rand_quad():
+        w, h = rng.uniform(1, 30, 2)
+        th = rng.uniform(0, 2 * np.pi)
+        c, s = np.cos(th), np.sin(th)
+        base = np.array([[0, 0], [w, 0], [w, h], [0, h]], float)
+        rot = np.array([[c, -s], [s, c]])
+        return base @ rot.T + rng.uniform(-20, 20, 2)
+
+    a = np.stack([rand_quad() for _ in range(800)])
+    b = np.stack([rand_quad() for _ in range(800)])
+    batch = quad_intersection_areas(a, b)
+    n_zero = 0
+    for i in range(len(a)):
+        ref = poly_intersection_area(a[i], b[i])
+        assert abs(batch[i] - ref) < 1e-9 * max(1.0, ref)
+        n_zero += ref == 0.0
+    assert 0 < n_zero < len(a)  # both branches exercised
+    assert np.allclose(batch, quad_intersection_areas(a, b[:, ::-1]))
