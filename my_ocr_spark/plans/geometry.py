@@ -1739,9 +1739,10 @@ _CEN_OUT = T.StructType([
         FROM base WHERE k % 2 = 0
         UNION ALL
         SELECT img_id, 'x' AS axis, s,
-               greatest(CAST(k % 2 AS BIGINT), 1) AS lo,
+               greatest(CAST((k // 2) % 2 AS BIGINT), 1) AS lo,
                CAST(9 + k % 5 AS BIGINT) AS hi,
-               CAST(k % 2 + 1 + k % (9 + k % 5 - k % 2) AS BIGINT) AS p0
+               CAST((k // 2) % 2 + 1
+                    + k % (9 + k % 5 - (k // 2) % 2) AS BIGINT) AS p0
         FROM base WHERE k % 2 = 1),
     m AS (
         SELECT img_id, axis,
@@ -1766,9 +1767,10 @@ def centralize_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius in {2,4,6} → step {0.5,1,1.5}, all arithmetic exact in
     float64), bar masks with integer bounds, even keys marching
     vertically and odd keys horizontally — the horizontal family pins
-    the reference's asymmetric ``next_x > 0`` bound (a leftward march
-    stops at column 1 even when the mask covers column 0; lo is
-    greatest(a, 1) in the oracle for exactly that reason). The kernel
+    the reference's asymmetric ``next_x > 0`` bound: bars with
+    a = (k // 2) % 2 = 0 cover column 0, yet the leftward march stops
+    at column 1 (lo is greatest(a, 1) in the oracle for exactly that
+    reason, and it now binds for half the odd keys). The kernel
     runs the real per-point marching loop; the oracle computes the
     stop counts as ceil/floor closed forms. One narrow mapInPandas."""
     from my_ocr_spark.kernel.morphology import march_along_normals
@@ -1793,7 +1795,13 @@ def centralize_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     step = np.array([[s, 0.0]])
                     axis = "y"
                 else:
-                    a = k % 2
+                    # (k // 2) % 2: half the odd keys start the bar at
+                    # column 0, so the reference's asymmetric next_x > 0
+                    # stop GENUINELY diverges from the mask bound (the
+                    # oracle's lo = greatest(a, 1)); with a = k % 2 the
+                    # mask never covered column 0 and the quirk was
+                    # unexercised
+                    a = (k // 2) % 2
                     b = 9 + k % 5
                     p0 = a + 1 + k % (b - a)
                     mask[:, a:b + 1] = True
