@@ -81,6 +81,7 @@ def main() -> None:
         "duplicate_span_pairs",     # Lee-et-al. substring-span dedup
         "gopher_repetition_filters",  # repetition quality gates
         "curation_mix_report",      # e2e: extract -> gates -> mix shares
+        "db_decode_boundaries",     # bitmap decode: trace+unclip+minrect
     ]
     # best-of-2 per query: the sandbox host has measured noise waves
     # (an untouched pure-JVM query swung 0.62→2.07 s minutes apart —
