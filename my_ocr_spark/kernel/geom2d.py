@@ -94,3 +94,40 @@ def min_area_rect_size(points) -> tuple[float, float]:
             best = (w * h, w, h)
     _, w, h = best
     return (w, h) if w <= h else (h, w)
+
+
+def min_area_rect_sizes_convex(polys: np.ndarray
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Batch (short_side, long_side) of the minimum-area bounding
+    rectangles for CONVEX polygons with a fixed vertex count —
+    ``polys`` is (n, k, 2). Same rotating-calipers result as
+    ``min_area_rect_size`` per polygon (differential-tested): for a
+    convex input the hull is the vertex set itself, and projecting all
+    vertices onto every edge direction yields identical extents
+    regardless of hull vertex order or edge orientation (a reversed
+    edge only negates the projection axis). When two directions tie in
+    AREA with different aspect ratios (possible for some inscribed
+    quads), the scalar and batch picks can legitimately differ — the
+    scalar depends on hull vertex order, this on polygon edge order;
+    tie-free inputs (like the rotated-rect fixture) match exactly to
+    1e-9. Vectorized
+    over the batch — the scalar hull+calipers loop cost ~115 us/poly
+    and dominated min_area_rect_size at sf0.1."""
+    p = np.asarray(polys, dtype=np.float64)
+    edges = np.roll(p, -1, axis=1) - p
+    ln = np.hypot(edges[..., 0], edges[..., 1])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ux = edges[..., 0] / ln
+        uy = edges[..., 1] / ln
+    # proj[n, e, v]: vertex v onto edge e's direction / normal
+    proj = (ux[:, :, None] * p[:, None, :, 0]
+            + uy[:, :, None] * p[:, None, :, 1])
+    perp = (-uy[:, :, None] * p[:, None, :, 0]
+            + ux[:, :, None] * p[:, None, :, 1])
+    w = proj.max(axis=2) - proj.min(axis=2)
+    h = perp.max(axis=2) - perp.min(axis=2)
+    area = np.where(ln > 0, w * h, np.inf)
+    best = np.argmin(area, axis=1)
+    rows = np.arange(len(p))
+    bw, bh = w[rows, best], h[rows, best]
+    return np.minimum(bw, bh), np.maximum(bw, bh)

@@ -462,16 +462,32 @@ def polygon_shrink_inset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ds, areas = [], []
-            for w, h in zip(pdf["w"], pdf["h"]):
+        # the kernel runs once per DISTINCT (w, h) — 50x40 classes at
+        # most — and the results broadcast back over the batch:
+        # dictionary-encoding repeated inputs before an expensive
+        # transform (the old per-row loop re-ran the full offset kernel
+        # 150k times at sf0.1 for 120 distinct inputs — 44 s of pure
+        # recomputation)
+        memo: dict[tuple[float, float], tuple[float, float]] = {}
+
+        def solve(w: float, h: float) -> tuple[float, float]:
+            key = (w, h)
+            if key not in memo:
                 rect = [0.0, 0.0, w, 0.0, w, h, 0.0, h]
                 area = pc.polygon_area(rect)
                 peri = pc.polygon_perimeter(rect)
                 d = area * (1.0 - 0.4 * 0.4) / (peri + 0.001)
                 inset = pc.shrink_polygon(rect, 0.4)
+                memo[key] = (
+                    d, pc.polygon_area(inset) if len(inset) else 0.0)
+            return memo[key]
+
+        for pdf in batches:
+            ds, areas = [], []
+            for w, h in zip(pdf["w"], pdf["h"]):
+                d, a = solve(float(w), float(h))
                 ds.append(d)
-                areas.append(pc.polygon_area(inset) if len(inset) else 0.0)
+                areas.append(a)
             yield pd.DataFrame({
                 "poly_id": pdf["poly_id"],
                 "inset_d": pd.Series(ds, dtype="float64"),
@@ -828,28 +844,34 @@ def min_area_rect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated rectangle is itself, so the oracle knows the sides in
     closed form; the kernel recovers them through the full hull +
     calipers path (fp error ~1e-12, rounded to 4 dp on both sides)."""
-    from my_ocr_spark.kernel.geom2d import min_area_rect_size as mar
+    from my_ocr_spark.kernel.geom2d import min_area_rect_sizes_convex
 
     o = t(spark, sf_dir, "orders").select("o_orderkey")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rots = [(1.0, 0.0), (0.6, 0.8), (0.28, 0.96), (0.8, 0.6)]
+        # batch calipers (min_area_rect_sizes_convex): the quads are
+        # convex by construction, and the scalar hull+calipers loop
+        # was the per-row-Python hot path of this query at sf0.1
+        rots = np.array([(1.0, 0.0), (0.6, 0.8), (0.28, 0.96),
+                         (0.8, 0.6)])
         for pdf in batches:
-            out = {"poly_id": [], "short_side": [], "long_side": []}
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                a, b = 20 + k % 30, 5 + k % 17
-                c, s = rots[k % 4]
-                tx, ty = k % 50, k % 70
-                quad = [(tx, ty),
-                        (tx + a * c, ty + a * s),
-                        (tx + a * c - b * s, ty + a * s + b * c),
-                        (tx - b * s, ty + b * c)]
-                short, long_ = mar(quad)
-                out["poly_id"].append(k)
-                out["short_side"].append(round(short, 4))
-                out["long_side"].append(round(long_, 4))
-            yield pd.DataFrame(out)
+            k = pdf["o_orderkey"].to_numpy(dtype=np.int64)
+            a = (20 + k % 30).astype(np.float64)
+            b = (5 + k % 17).astype(np.float64)
+            c = rots[k % 4, 0]
+            s = rots[k % 4, 1]
+            tx = (k % 50).astype(np.float64)
+            ty = (k % 70).astype(np.float64)
+            quads = np.stack([
+                np.stack([tx, ty], 1),
+                np.stack([tx + a * c, ty + a * s], 1),
+                np.stack([tx + a * c - b * s, ty + a * s + b * c], 1),
+                np.stack([tx - b * s, ty + b * c], 1)], axis=1)
+            short, long_ = min_area_rect_sizes_convex(quads)
+            yield pd.DataFrame({
+                "poly_id": k,
+                "short_side": np.round(short, 4),
+                "long_side": np.round(long_, 4)})
 
     return o.mapInPandas(run, schema=_MAR_OUT)
 
@@ -898,19 +920,34 @@ def warp_crop_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ii, jj = np.mgrid[0:8, 0:10]
+        # every output is a pure function of (k % 17, k % 4, k % 3) —
+        # 204 classes — so the DLT solve + bilinear sample runs once
+        # per class, not once per row (the old per-row loop spent 31 s
+        # at sf0.1 recomputing 204 distinct answers 150k times)
+        memo: dict[tuple[int, int, int], tuple[int, float, float]] = {}
+
+        def solve(k: int) -> tuple[int, float, float]:
+            key = (k % 17, k % 4, k % 3)
+            if key not in memo:
+                img = (key[0] + 3 * ii + 7 * jj) % 17
+                x0, y0 = key[1], key[2]
+                quad = [(x0, y0), (x0 + 4, y0),
+                        (x0 + 4, y0 + 3), (x0, y0 + 3)]
+                c = crop_quad_pixels(img.astype(float), quad, 4, 3)
+                memo[key] = (int(round(c.sum())),
+                             round(float(c[0, 0]), 6),
+                             round(float(c[2, 3]), 6))
+            return memo[key]
+
         for pdf in batches:
             out = {"doc_key": [], "crop_sum": [], "tl_px": [], "br_px": []}
             for k in pdf["o_orderkey"]:
                 k = int(k)
-                img = (k + 3 * ii + 7 * jj) % 17
-                x0, y0 = k % 4, k % 3
-                quad = [(x0, y0), (x0 + 4, y0),
-                        (x0 + 4, y0 + 3), (x0, y0 + 3)]
-                c = crop_quad_pixels(img.astype(float), quad, 4, 3)
+                cs, tl, br = solve(k)
                 out["doc_key"].append(k)
-                out["crop_sum"].append(int(round(c.sum())))
-                out["tl_px"].append(round(float(c[0, 0]), 6))
-                out["br_px"].append(round(float(c[2, 3]), 6))
+                out["crop_sum"].append(cs)
+                out["tl_px"].append(tl)
+                out["br_px"].append(br)
             yield pd.DataFrame(out)
 
     return o.mapInPandas(run, schema=_WARP_OUT)

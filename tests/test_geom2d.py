@@ -125,3 +125,57 @@ class TestMinAreaRect:
         assert min_area_rect_size([(5, 5)]) == (0.0, 0.0)
         s, l = min_area_rect_size([(0, 0), (3, 4)])
         assert (s, l) == pytest.approx((0.0, 5.0))
+
+
+def test_min_area_rect_batch_matches_scalar():
+    """min_area_rect_sizes_convex must equal the scalar hull+calipers
+    path on the rotated-rect fixture family and on random convex
+    quads."""
+    import numpy as np
+
+    from my_ocr_spark.kernel.geom2d import (
+        min_area_rect_size, min_area_rect_sizes_convex,
+    )
+
+    rots = np.array([(1.0, 0.0), (0.6, 0.8), (0.28, 0.96), (0.8, 0.6)])
+    quads = []
+    for k in range(300):
+        a, b = 20 + k % 30, 5 + k % 17
+        c, s = rots[k % 4]
+        tx, ty = k % 50, k % 70
+        quads.append([(tx, ty), (tx + a * c, ty + a * s),
+                      (tx + a * c - b * s, ty + a * s + b * c),
+                      (tx - b * s, ty + b * c)])
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        # random convex quad: points on an ellipse at sorted angles
+        # (varying per-vertex radii can create reflex vertices, where
+        # the scalar path's hull would legitimately find an edge
+        # direction the 4 polygon edges don't contain)
+        while True:
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+            gaps = np.diff(np.append(ang, ang[0] + 2 * np.pi))
+            # well-separated angles: near-collinear vertices make the
+            # scalar path's hull merge two edges into one direction
+            # the polygon's own edge set doesn't contain
+            if gaps.min() > 0.5:
+                break
+        ax, bx = rng.uniform(3, 20, 2)
+        quads.append(np.stack([ax * np.cos(ang), bx * np.sin(ang)], 1)
+                     + rng.uniform(-5, 5, 2))
+    quads = np.asarray(quads, dtype=np.float64)
+    short, long_ = min_area_rect_sizes_convex(quads)
+    for i, q in enumerate(quads):
+        s_ref, l_ref = min_area_rect_size(q)
+        if abs(short[i] * long_[i] - s_ref * l_ref) < 1e-9 \
+                and abs(short[i] - s_ref) > 1e-9:
+            # two directions tie in AREA with different aspect ratios
+            # (happens for some inscribed quads): the scalar pick
+            # depends on hull vertex order, the batch pick on polygon
+            # edge order — both are valid minimum rectangles. The
+            # fixture family (first 300) is tie-free and must match
+            # exactly.
+            assert i >= 300, (i, short[i], s_ref)
+            continue
+        assert abs(short[i] - s_ref) < 1e-9, (i, short[i], s_ref)
+        assert abs(long_[i] - l_ref) < 1e-9, (i, long_[i], l_ref)
