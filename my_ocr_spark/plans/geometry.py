@@ -483,11 +483,11 @@ def polygon_shrink_inset(spark: SparkSession, sf_dir: str) -> DataFrame:
             return memo[key]
 
         for pdf in batches:
-            ds, areas = [], []
-            for w, h in zip(pdf["w"], pdf["h"]):
-                d, a = solve(float(w), float(h))
-                ds.append(d)
-                areas.append(a)
+            key = pdf["w"] * 1000.0 + pdf["h"]   # injective class code
+            table = {k: solve(k // 1000.0, k % 1000.0)
+                     for k in key.unique()}
+            ds = key.map(lambda k: table[k][0])
+            areas = key.map(lambda k: table[k][1])
             yield pd.DataFrame({
                 "poly_id": pdf["poly_id"],
                 "inset_d": pd.Series(ds, dtype="float64"),
@@ -940,15 +940,15 @@ def warp_crop_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             return memo[key]
 
         for pdf in batches:
-            out = {"doc_key": [], "crop_sum": [], "tl_px": [], "br_px": []}
-            for k in pdf["o_orderkey"]:
-                k = int(k)
-                cs, tl, br = solve(k)
-                out["doc_key"].append(k)
-                out["crop_sum"].append(cs)
-                out["tl_px"].append(tl)
-                out["br_px"].append(br)
-            yield pd.DataFrame(out)
+            # 17, 4, 3 are pairwise coprime, so k % 204 indexes the
+            # class (CRT); one kernel run per class, C-speed map back
+            cls = pdf["o_orderkey"] % 204
+            table = {c: solve(int(c)) for c in cls.unique()}
+            yield pd.DataFrame({
+                "doc_key": pdf["o_orderkey"],
+                "crop_sum": cls.map(lambda c: table[c][0]),
+                "tl_px": cls.map(lambda c: table[c][1]),
+                "br_px": cls.map(lambda c: table[c][2])})
 
     return o.mapInPandas(run, schema=_WARP_OUT)
 
