@@ -1608,3 +1608,227 @@ def c4_line_filters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fixture, not operator semantics — the registered clean twin is
     c4_line_filters."""
     return c4_doc_stats(_c4_lines(spark, sf_dir, plant=True))
+
+
+# --- PII scrubbing (curation safety pass) -----------------------------------
+
+# Java-regex / RE2 compatible (no lookahead, no backslash escapes —
+# [.] instead of \. so the literals survive both engines verbatim)
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# deterministic PII plant, mirrored verbatim in the oracle: the
+# synthetic corpus contains no PII at all, so (like c4's line
+# synthesis) the fixture augmentation IS the only way the rules can
+# fire — the RULES are the operator under test
+_PII_AUG_SQL = """
+    text || CASE WHEN doc_id % 13 = 0
+                 THEN ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+                      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' call 415-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 40 AS VARCHAR)
+                 ELSE '' END
+"""
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-redact pass for the three canonical PII shapes a
+    web-corpus curation pipeline masks before training (emails, NANP
+    phone numbers, IPv4 addresses — the Dolma/C4-style scrub step):
+    adds n_emails / n_phones / n_ips exact counts, a has_pii flag and
+    the redacted text (<EMAIL>/<IP>/<PHONE> tokens, replaced in that
+    fixed order). Pure JVM regex column expressions — no Python, no
+    shuffle; scales as a map-only pass."""
+    c = F.col(text_col)
+    n_em = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{_PII_EMAIL}', 0)"))
+    n_ip = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{_PII_IP}', 0)"))
+    n_ph = F.size(F.expr(
+        f"regexp_extract_all({text_col}, '{_PII_PHONE}', 0)"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return (df.withColumn("n_emails", n_em.cast("bigint"))
+              .withColumn("n_phones", n_ph.cast("bigint"))
+              .withColumn("n_ips", n_ip.cast("bigint"))
+              .withColumn("has_pii",
+                          (n_em + n_ph + n_ip) > 0)
+              .withColumn("scrubbed", scrubbed))
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, ({_PII_AUG_SQL}) AS t
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+               AS n_ips,
+           (len(regexp_extract_all(t, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(t, '{_PII_PHONE}'))
+            + len(regexp_extract_all(t, '{_PII_IP}'))) > 0 AS has_pii,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_md5
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (scrub_pii) over a deterministically
+    PII-augmented corpus: emails / phones / IPs planted into every
+    13th/17th/19th doc on BOTH engines — the raw synthetic corpus
+    contains no PII whatsoever, so (exactly like c4's line synthesis)
+    the augmentation is fixture, not operator semantics; the regex
+    rules and the fixed replacement order are what's under test.
+    Counts exact ints, redacted text compared by md5 (identical
+    regex classes under Java regex and RE2 — no lookahead, [.] not
+    backslash-dot)."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0, F.concat(
+            F.lit(" contact user"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"))).otherwise(""),
+        F.when(F.col("doc_id") % 17 == 0, F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+         .otherwise(""),
+        F.when(F.col("doc_id") % 19 == 0, F.concat(
+            F.lit(" from 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."), (F.col("doc_id") % 40).cast("string")))
+         .otherwise(""))
+    d = docs.select("doc_id", aug.alias("t"))
+    out = scrub_pii(d, "t")
+    return out.select("doc_id", "n_emails", "n_phones", "n_ips",
+                      "has_pii", F.md5("scrubbed").alias("scrub_md5"))
+
+
+# --- benchmark decontamination (n-gram overlap vs an eval set) --------------
+
+_DECON_PHRASE_SQL = (
+    "' benchmark anchor phrase number ' || CAST(doc_id % 5 AS VARCHAR)"
+    " || ' alpha beta gamma delta epsilon'")
+
+
+def _decon_gram8_sql(src: str) -> str:
+    return f"""
+        SELECT doc_id,
+               md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                   || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' '
+                   || w[i+6] || ' ' || w[i+7]) AS gh
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 7)) AS i
+              FROM {src} WHERE len(w) >= 8)"""
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(regexp_replace(lower(
+                   text || CASE WHEN doc_id % 101 = 0 OR doc_id % 23 = 0
+                                THEN {_DECON_PHRASE_SQL} ELSE '' END),
+                   '[^a-z0-9一-龥 ]', '', 'g'), ' +', ' ', 'g')), ' ')
+                   AS w
+        FROM documents WHERE length(text) > 0
+    ),
+    g AS ({_decon_gram8_sql('aug')}),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 101 = 0),
+    corpus AS (SELECT doc_id, count(*) AS n_grams
+               FROM g WHERE doc_id % 101 != 0 GROUP BY doc_id),
+    hits AS (
+        SELECT g.doc_id, count(*) AS n_hits,
+               count(DISTINCT g.gh) AS n_hit_grams
+        FROM g JOIN bench USING (gh)
+        WHERE g.doc_id % 101 != 0
+        GROUP BY g.doc_id
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM aug WHERE doc_id % 101 != 0) a
+    LEFT JOIN corpus c USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (the GPT-3/PaLM-style n-gram overlap
+    scan every serious训练 corpus runs): flag corpus documents sharing
+    any normalized 8-gram with a held-out benchmark set. Benchmark =
+    docs with doc_id % 101 == 0; a shared anchor phrase is planted
+    into the benchmark docs AND every 23rd corpus doc on BOTH engines
+    (the synthetic corpus shares no 8-grams naturally — verified — so
+    the plant is the fixture that makes leakage detectable).
+
+    Scale shape: the benchmark's DISTINCT gram-hash set is tiny and
+    BROADCAST (plan-gated); the corpus gram stream is a map-side
+    explode joined without a shuffle of the fat side — exactly how
+    production decontamination runs at 100 TB (eval sets are MBs,
+    corpora are TBs). Counts exact ints; gram synthesis is O(words)
+    per doc via element_at (no HOF-CSE trap)."""
+    docs = (t(spark, sf_dir, "documents").filter(F.length("text") > 0))
+    phrase = F.concat(
+        F.lit(" benchmark anchor phrase number "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" alpha beta gamma delta epsilon"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when((F.col("doc_id") % 101 == 0)
+                   | (F.col("doc_id") % 23 == 0), phrase)
+             .otherwise("")).alias("t"))
+    w = aug.select("doc_id",
+                   F.split(normalized_col("t"), " ").alias("w"))
+    grams = (w.filter(F.size("w") >= 8)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(w) - 7), i -> md5(concat("
+                 "element_at(w, i), ' ', element_at(w, i + 1), ' ', "
+                 "element_at(w, i + 2), ' ', element_at(w, i + 3), ' ', "
+                 "element_at(w, i + 4), ' ', element_at(w, i + 5), ' ', "
+                 "element_at(w, i + 6), ' ', element_at(w, i + 7))))"))
+                 .alias("gh")))
+    bench = (grams.filter(F.col("doc_id") % 101 == 0)
+             .select("gh").distinct())
+    corpus_grams = grams.filter(F.col("doc_id") % 101 != 0)
+    counts = corpus_grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"))
+    hits = (corpus_grams.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("gh").alias("n_hit_grams")))
+    base = (w.filter(F.col("doc_id") % 101 != 0).select("doc_id"))
+    return (base.join(counts, "doc_id", "left")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                     .alias("n_grams"),
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                     .alias("n_hits"),
+                    F.coalesce("n_hit_grams", F.lit(0)).cast("bigint")
+                     .alias("n_hit_grams"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))

@@ -233,3 +233,13 @@ def test_curation_mix_report_single_extraction(spark, sf_dir):
     plan = _physical_plan(curation_mix_report(spark, sf_dir))
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("Scan parquet") == 0, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """decontaminate_ngrams must broadcast the benchmark gram set (eval
+    sets are MBs, corpora are TBs — a shuffle of the corpus gram stream
+    for this join would be the 100 TB bottleneck)."""
+    from my_ocr_spark.plans.textpipe import decontaminate_ngrams
+    plan = _physical_plan(decontaminate_ngrams(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
