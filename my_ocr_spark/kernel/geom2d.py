@@ -130,4 +130,10 @@ def min_area_rect_sizes_convex(polys: np.ndarray
     best = np.argmin(area, axis=1)
     rows = np.arange(len(p))
     bw, bh = w[rows, best], h[rows, best]
+    # fully degenerate polygon (every edge zero-length): match the
+    # scalar kernel's (0, 0) instead of NaN from the 0/0 unit vector
+    degen = ~(ln > 0).any(axis=1)
+    if degen.any():
+        bw = np.where(degen, 0.0, bw)
+        bh = np.where(degen, 0.0, bh)
     return np.minimum(bw, bh), np.maximum(bw, bh)

@@ -350,11 +350,15 @@ def march_along_normals(points_yx: np.ndarray, step: np.ndarray,
     pos = np.asarray(points_yx, dtype=np.float64).copy()
     step = np.broadcast_to(
         np.asarray(step, dtype=np.float64) * direction, pos.shape)
-    flags = (step != 0.0).any(axis=1)
+    moving = (step != 0.0).any(axis=1)
+    flags = moving.copy()
     while flags.any():
         nxt = (pos + step).astype(np.int32)
         ny, nx = nxt[:, 0], nxt[:, 1]
-        flags = ((ny >= 0) & (ny < h) & (nx > 0) & (nx < w)
+        # AND with the static zero-step mask every pass: an in-mask
+        # zero-step point would otherwise re-enable itself and spin
+        # the loop forever once any other point still moves
+        flags = (moving & (ny >= 0) & (ny < h) & (nx > 0) & (nx < w)
                  & contour_mask[np.clip(ny, 0, h - 1),
                                 np.clip(nx, 0, w - 1)])
         pos = pos + flags[:, None] * step

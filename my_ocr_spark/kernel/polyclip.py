@@ -184,7 +184,10 @@ def quad_intersection_areas(subj: np.ndarray, clip: np.ndarray
                             ) -> np.ndarray:
     """Batch Sutherland–Hodgman for quad pairs: ``subj`` and ``clip``
     are (n, 4, 2) vertex arrays (``clip`` convex), returns the n
-    intersection areas. Semantics identical to
+    intersection areas. PRECONDITION: subject vertices must be in
+    convex (simple) order — a self-intersecting vertex order can emit
+    more than the 8-slot buffer holds and raises ValueError. Under
+    that precondition, semantics are identical to
     ``poly_intersection_area`` pair-by-pair (differential-tested on
     random rotated quads) but vectorized over the batch — the per-row
     Python loop was ~134 us/pair and dominated poly_iou_match_2d at
@@ -230,6 +233,13 @@ def quad_intersection_areas(subj: np.ndarray, clip: np.ndarray
         out_c = contrib.sum(axis=1)
         pos_p = start
         pos_x = start + keep
+        if (out_c > maxv).any():
+            # a convex-subject clip emits <= 8 vertices; more means the
+            # subject's vertex order is self-intersecting — fail loudly
+            # instead of scattering into a neighboring row's buffer
+            raise ValueError(
+                "quad_intersection_areas: subject quad is not in "
+                "convex (simple) vertex order")
         sp_c, sq_c = side[cross], sq[cross]
         t = sp_c / (sp_c - sq_c)
         ipt = verts[cross] + t[:, None] * (q[cross] - verts[cross])

@@ -139,7 +139,10 @@ def cell_cosine_edges(nv: DataFrame, threshold: float,
         acc = np.zeros((n, n))
         for d in range(mat.shape[1]):
             col = mat[:, d]
-            acc = acc + col[:, None] * col[None, :]
+            # in-place += performs the SAME IEEE additions in the same
+            # order (bit-exactness unchanged) without allocating a
+            # transient n*n matrix per dimension
+            acc += col[:, None] * col[None, :]
         cos = acc / (nrm[:, None] * nrm[None, :])
         iu, ju = np.triu_indices(n, 1)
         keep = cos[iu, ju] >= threshold

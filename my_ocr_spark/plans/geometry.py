@@ -483,11 +483,11 @@ def polygon_shrink_inset(spark: SparkSession, sf_dir: str) -> DataFrame:
             return memo[key]
 
         for pdf in batches:
-            key = pdf["w"] * 1000.0 + pdf["h"]   # injective class code
-            table = {k: solve(k // 1000.0, k % 1000.0)
-                     for k in key.unique()}
-            ds = key.map(lambda k: table[k][0])
-            areas = key.map(lambda k: table[k][1])
+            key = pd.Series(list(zip(pdf["w"], pdf["h"])),
+                            index=pdf.index)
+            table = {t_: solve(*t_) for t_ in set(key)}
+            ds = key.map(lambda t_: table[t_][0])
+            areas = key.map(lambda t_: table[t_][1])
             yield pd.DataFrame({
                 "poly_id": pdf["poly_id"],
                 "inset_d": pd.Series(ds, dtype="float64"),

@@ -1500,7 +1500,7 @@ def _c4_oracle(plant: bool) -> str:
                || CASE WHEN i = 0 AND doc_id % 23 = 0
                        THEN ' lorem ipsum' ELSE '' END
                || CASE WHEN i = 0 AND doc_id % 29 = 0
-                       THEN ' {{ code }}' ELSE '' END""" if plant else "")
+                       THEN ' { code }' ELSE '' END""" if plant else "")
     return f"""
     WITH d AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w

@@ -451,3 +451,19 @@ def test_db_decode_fixture_family_closed_forms_hold():
                 fr = abs((x * 1e4 + 0.5) - round(x * 1e4 + 0.5))
                 assert fr > 1e-6
             assert abs(cf_short - 3.0) > 0.05
+
+
+def test_march_mixed_zero_step_batch_terminates():
+    """A zero-step point in the SAME batch as moving points must stay
+    stopped: the flag recomputation inside the loop would otherwise
+    re-enable it (in-mask, x>0) and spin forever once any other point
+    still moves (review finding, round 5)."""
+    from my_ocr_spark.kernel.morphology import march_along_normals
+
+    m = np.ones((8, 8), dtype=bool)
+    m[:, 6:] = False
+    pts = np.array([[4.0, 4.0], [4.0, 1.0]])
+    step = np.array([[0.0, 0.0], [0.0, 1.0]])
+    out = march_along_normals(pts, step, m, 1)
+    assert out[0].tolist() == [4.0, 4.0]   # never moved
+    assert out[1][1] > 1.0                 # the real point marched
