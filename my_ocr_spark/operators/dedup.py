@@ -404,3 +404,48 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("n_grams") >= min_grams)
             .select("doc1", "doc2", "start1", "start2",
                     "n_grams", "span_words"))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           gram_width: int = 5, df_cap: int = 16,
+                           min_grams: int = 2) -> DataFrame:
+    """The REMOVAL half of Lee-et-al. span dedup: for every span
+    detected by ``duplicate_spans``, delete the copy in the HIGHER-id
+    document (doc2) — the deterministic keep-first rule — and rebuild
+    the surviving word stream. Overlapping spans union their covered
+    positions. Returns one row per document (normalized word stream):
+    (doc_id, n_words, n_removed, n_kept, kept_md5).
+
+    Scale shape: the covered-position set is a narrow (doc_id, pos)
+    explode of the span table (spans are rare by construction — df_cap
+    bounds the index), one distinct + one left join against the word
+    stream, one per-doc agg; the fat text never joins anything."""
+    spans = duplicate_spans(df, id_col, text_col, gram_width=gram_width,
+                            df_cap=df_cap, min_grams=min_grams)
+    covered = (spans.select(
+        F.col("doc2").alias("doc_id"),
+        F.explode(F.expr("sequence(start2, start2 + span_words - 1)"))
+         .alias("pos"))
+        .distinct()
+        .withColumn("cov", F.lit(1)))
+    words = (df.select(F.col(id_col).alias("doc_id"),
+                       F.split(normalized_col(text_col), " ")
+                        .alias("words"))
+             .select("doc_id",
+                     F.posexplode("words").alias("pos0", "word"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word"))
+    marked = words.join(covered, ["doc_id", "pos"], "left")
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("cov").isNull(),
+                       F.struct("pos", "word")))),
+            lambda s: s["word"]), " ")
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_words"),
+                 F.sum(F.coalesce("cov", F.lit(0))).cast("bigint")
+                  .alias("n_removed"),
+                 F.md5(kept_text).alias("kept_md5"))
+            .select("doc_id", "n_words", "n_removed",
+                    (F.col("n_words") - F.col("n_removed"))
+                    .cast("bigint").alias("n_kept"), "kept_md5"))

@@ -921,12 +921,12 @@ def url_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("path").alias("n_paths")))
 
 
-def _dup_span_oracle(gram_width: int = 5, df_cap: int = 16,
-                     min_grams: int = 2) -> str:
-    """DuckDB twin of operators.dedup.duplicate_spans, parameterized on
-    the same knobs (gram width, df cap, span threshold)."""
-    return f"""
-    WITH d AS (
+def _dup_span_ctes(gram_width: int = 5, df_cap: int = 16,
+                   min_grams: int = 2) -> str:
+    """The duplicate_spans CTE chain (shared by the detection oracle
+    and the removal oracle), ending in ``fspans`` — spans passing the
+    min_grams threshold."""
+    return f"""d AS (
         SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
         FROM documents
         WHERE len(string_split({_NORM_SQL}, ' ')) >= {gram_width}
@@ -967,8 +967,17 @@ def _dup_span_oracle(gram_width: int = 5, df_cap: int = 16,
                CAST(count(*) AS BIGINT) AS n_grams,
                CAST(count(*) + {gram_width - 1} AS BIGINT) AS span_words
         FROM isl GROUP BY doc1, doc2, p1 - p2, grp
-    )
-    SELECT * FROM spans WHERE n_grams >= {min_grams}
+    ),
+    fspans AS (SELECT * FROM spans WHERE n_grams >= {min_grams})"""
+
+
+def _dup_span_oracle(gram_width: int = 5, df_cap: int = 16,
+                     min_grams: int = 2) -> str:
+    """DuckDB twin of operators.dedup.duplicate_spans, parameterized on
+    the same knobs (gram width, df cap, span threshold)."""
+    return f"""
+    WITH {_dup_span_ctes(gram_width, df_cap, min_grams)}
+    SELECT doc1, doc2, start1, start2, n_grams, span_words FROM fspans
     """
 
 
@@ -1832,3 +1841,49 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_hit_grams"),
                     (F.coalesce("n_hits", F.lit(0)) > 0)
                     .alias("contaminated")))
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH {_dup_span_ctes()},
+    cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+            SELECT doc2 AS doc_id,
+                   unnest(generate_series(start2,
+                                          start2 + span_words - 1)) AS pos
+            FROM fspans)
+    ),
+    w AS (
+        SELECT doc_id, unnest(generate_series(1, len(words))) AS pos,
+               unnest(words) AS word
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+              FROM documents WHERE length(text) > 0)
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(count(*) - sum(CASE WHEN c.pos IS NOT NULL
+                                    THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(w.word, ' ' ORDER BY w.pos)
+                            FILTER (c.pos IS NULL), '')) AS kept_md5
+    FROM w LEFT JOIN cov c
+      ON c.doc_id = w.doc_id AND c.pos = w.pos
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of Lee-et-al. span dedup (the paper deletes
+    one copy of every duplicated substring; duplicate_span_pairs only
+    detects them): spans land on the higher-id document, covered word
+    positions union, and the surviving stream is rebuilt — closing the
+    detect -> remove loop as one DAG (operators.dedup.
+    remove_duplicate_spans). Exact integer counts per document and an
+    md5 of the rebuilt text (position-ordered on both engines); docs
+    without spans pass through with n_removed = 0."""
+    from my_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return remove_duplicate_spans(d, "doc_id", "text")

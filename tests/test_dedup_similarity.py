@@ -318,3 +318,24 @@ def test_cell_cosine_edges_bitexact_vs_catalyst_fold(spark):
     new = {(r.src, r.dst) for r in
            cell_cosine_edges(nv, threshold=0.95).collect()}
     assert old == new and len(new) >= 10, (len(new), old ^ new)
+
+
+def test_remove_duplicate_spans_deletes_higher_id_copy(spark):
+    """The removal rule: the HIGHER-id doc loses the shared span, the
+    lower-id doc keeps it, untouched docs pass through whole."""
+    from my_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six seven eight"
+    rows = [(1, f"pre {shared} post"),
+            (2, f"{shared} tail words here"),
+            (3, "totally unrelated content with enough words to count")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(df, "doc_id", "text").collect()}
+    assert out[1].n_removed == 0 and out[1].n_words == 10
+    assert out[2].n_removed == 8          # the whole shared span
+    assert out[2].n_kept == 3             # 'tail words here'
+    assert out[3].n_removed == 0
+    import hashlib
+    assert out[2].kept_md5 == hashlib.md5(
+        b"tail words here").hexdigest()
