@@ -1887,3 +1887,86 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return remove_duplicate_spans(d, "doc_id", "text")
+
+
+@query(
+    "sequence_pack_greedy",
+    oracle="""
+    WITH RECURSIVE seq AS MATERIALIZED (
+        SELECT source, doc_id // 200 AS shard, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               row_number() OVER (PARTITION BY source, doc_id // 200
+                                  ORDER BY doc_id) AS rn
+        FROM documents WHERE length(text) > 0
+    ),
+    pack AS (
+        SELECT source, shard, rn, doc_id, n_tok,
+               CAST(1 AS BIGINT) AS pack_id, n_tok AS fill
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.source, s.shard, s.rn, s.doc_id, s.n_tok,
+               CASE WHEN p.fill + s.n_tok <= 512
+                    THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + s.n_tok <= 512
+                    THEN p.fill + s.n_tok ELSE s.n_tok END
+        FROM pack p
+        JOIN seq s ON s.source = p.source AND s.shard = p.shard
+                  AND s.rn = p.rn + 1
+    )
+    SELECT source, CAST(shard AS BIGINT) AS shard, doc_id, n_tok,
+           pack_id
+    FROM pack
+    """,
+)
+def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — the capacity-reset scan that groups
+    documents into fixed-token training windows (the pre-tokenizer
+    packing step of every LLM data pipeline): within each output shard
+    (source, doc_id // 200), docs in doc_id order join the current
+    pack while fill + n_tok <= 512, else open a new pack; oversize
+    docs get solo packs. Sequential state per shard -> one grouped map
+    per (source, shard) — shards are the parallel unit exactly as a
+    production writer packs its own output shard, so the scan
+    parallelizes with data size while each pack stays deterministic.
+    Oracle: the same scan as a depth-bounded recursive CTE advancing
+    one document per iteration per shard. Counts exact ints."""
+    d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+         .select("source", (F.col("doc_id") / 200).cast("long")
+                 .alias("shard"), "doc_id",
+                 F.size(F.split("text", " ")).cast("bigint")
+                 .alias("n_tok")))
+    return greedy_pack(d, capacity=512)
+
+
+def greedy_pack(d: DataFrame, capacity: int = 512) -> DataFrame:
+    """Capacity-reset packing scan over (source, shard, doc_id, n_tok):
+    within each (source, shard), docs in doc_id order join the current
+    pack while fill + n_tok <= capacity, else open a new pack (1-based
+    ids; oversize docs get solo packs). One grouped map per shard."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType(), True),
+        T.StructField("shard", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_tok", T.LongType(), False),
+        T.StructField("pack_id", T.LongType(), False),
+    ])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, fill = 0, capacity + 1
+        for n in pdf["n_tok"]:
+            if fill + n <= capacity:
+                fill += n
+            else:
+                pack_id += 1
+                fill = n
+            pack_ids.append(pack_id)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["source", "shard", "doc_id", "n_tok", "pack_id"]]
+
+    return d.groupBy("source", "shard").applyInPandas(run, schema=schema)

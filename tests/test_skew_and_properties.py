@@ -94,3 +94,24 @@ def test_stitch_partitions_all_boxes_exactly_once(raw):
     # determinism
     again = stitch_boxes_into_lines(boxes)
     assert [ln["text"] for ln in again] == [ln["text"] for ln in lines]
+
+
+def test_sequence_pack_greedy_semantics(spark):
+    """Packing rules through the REAL grouped map: capacity reset at
+    512, an oversize doc gets a solo pack, a small doc pairs with the
+    next fitting one, shards pack independently."""
+    from pyspark.sql import functions as F
+
+    from my_ocr_spark.plans.textpipe import greedy_pack
+
+    rows = [("s", 0, 1, 300), ("s", 0, 2, 300), ("s", 0, 3, 601),
+            ("s", 0, 4, 11), ("s", 0, 5, 501), ("s", 1, 6, 400),
+            ("t", 0, 7, 400)]
+    d = spark.createDataFrame(
+        rows, ["source", "shard", "doc_id", "n_tok"]).select(
+        "source", F.col("shard").cast("long"), "doc_id",
+        F.col("n_tok").cast("long"))
+    out = {(r.source, r.doc_id): r.pack_id
+           for r in greedy_pack(d, capacity=512).collect()}
+    assert [out[("s", i)] for i in range(1, 6)] == [1, 2, 3, 4, 4]
+    assert out[("s", 6)] == 1 and out[("t", 7)] == 1  # fresh per shard
