@@ -148,33 +148,65 @@ def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
     therefore minimum) pixel; background = -1. 8-connectivity by
     default, matching contour semantics; pass 4 for strict edges.
 
-    Intended for the small per-instance crops the decode chains
-    process: the per-pixel DFS carries Python-interpreter constants
-    (unlike the vectorized fill_hole/skeletonize siblings) — labeling
-    page-scale masks would want a scanline/union-find path instead."""
+    Run-based two-pass labeling (horizontal runs + union-find over
+    run adjacencies between consecutive rows): cost scales with the
+    number of RUNS, not pixels, so page-scale masks with long spans
+    label in O(runs α(runs)) — the scanline/union-find path the old
+    per-pixel Python DFS docstring promised (differential-tested
+    against that DFS on random masks at both connectivities)."""
     m = np.asarray(mask) != 0
     h, w = m.shape
     lab = np.full((h, w), -1, dtype=np.int64)
-    if connectivity == 8:
-        nbrs = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
-                (0, 1), (1, -1), (1, 0), (1, 1)]
-    else:
-        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    for r0 in range(h):
-        for c0 in range(w):
-            if not m[r0, c0] or lab[r0, c0] >= 0:
-                continue
-            seed = r0 * w + c0
-            stack = [(r0, c0)]
-            lab[r0, c0] = seed
-            while stack:
-                r, c = stack.pop()
-                for dr, dc in nbrs:
-                    rn, cn = r + dr, c + dc
-                    if (0 <= rn < h and 0 <= cn < w and m[rn, cn]
-                            and lab[rn, cn] < 0):
-                        lab[rn, cn] = seed
-                        stack.append((rn, cn))
+    if m.size == 0 or not m.any():
+        return lab
+    # horizontal runs per row: starts/ends via transitions
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = m
+    diff = padded[:, 1:].astype(np.int8) - padded[:, :-1].astype(np.int8)
+    rr, cs = np.nonzero(diff == 1)      # run starts (inclusive)
+    _, ce = np.nonzero(diff == -1)      # run ends (exclusive)
+    n_runs = len(rr)
+    # plain Python lists in the union loops: numpy scalar indexing in
+    # tight per-run loops costs ~20x list indexing (measured 2.2 s ->
+    # ~0.1 s on a realistic 26k-run page mask)
+    csl, cel = cs.tolist(), ce.tolist()
+    parent = list(range(n_runs))
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:        # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    # union runs in adjacent rows that touch under the connectivity
+    # (8-conn: column ranges may also touch diagonally -> widen by 1)
+    slack = 1 if connectivity == 8 else 0
+    row_start = np.searchsorted(rr, np.arange(h + 1)).tolist()
+    for r in range(1, h):
+        a, b = row_start[r], row_start[r + 1]
+        p, q = row_start[r - 1], row_start[r]
+        j = p
+        for i in range(a, b):
+            lo, hi = csl[i] - slack, cel[i] + slack
+            # lo is nondecreasing over i, so runs passed here can't
+            # touch any later run of this row either
+            while j < q and cel[j] <= lo:
+                j += 1
+            k = j
+            while k < q and csl[k] < hi:
+                ra, rb = find(i), find(k)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                k += 1
+    # label = row-major index of the component's first pixel: the
+    # root run (lowest index) is the raster-first run of its component
+    roots = np.array([find(i) for i in range(n_runs)])
+    seeds = rr[roots] * w + cs[roots]
+    rrl = rr.tolist()
+    for i in range(n_runs):
+        lab[rrl[i], csl[i]:cel[i]] = seeds[i]
     return lab
 
 

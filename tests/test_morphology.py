@@ -467,3 +467,56 @@ def test_march_mixed_zero_step_batch_terminates():
     out = march_along_normals(pts, step, m, 1)
     assert out[0].tolist() == [4.0, 4.0]   # never moved
     assert out[1][1] > 1.0                 # the real point marched
+
+
+def test_label_components_matches_dfs_reference():
+    """The run-based union-find labeling must equal the per-pixel DFS
+    it replaced — same labels (raster-first pixel index), background
+    -1 — on random masks at both connectivities, plus a page-scale
+    smoke (long runs, many components)."""
+    def dfs_ref(mask, connectivity):
+        m = np.asarray(mask) != 0
+        h, w = m.shape
+        lab = np.full((h, w), -1, dtype=np.int64)
+        nbrs = ([(-1, -1), (-1, 0), (-1, 1), (0, -1),
+                 (0, 1), (1, -1), (1, 0), (1, 1)]
+                if connectivity == 8
+                else [(-1, 0), (1, 0), (0, -1), (0, 1)])
+        for r0 in range(h):
+            for c0 in range(w):
+                if not m[r0, c0] or lab[r0, c0] >= 0:
+                    continue
+                seed = r0 * w + c0
+                stack = [(r0, c0)]
+                lab[r0, c0] = seed
+                while stack:
+                    r, c = stack.pop()
+                    for dr, dc in nbrs:
+                        rn, cn = r + dr, c + dc
+                        if (0 <= rn < h and 0 <= cn < w and m[rn, cn]
+                                and lab[rn, cn] < 0):
+                            lab[rn, cn] = seed
+                            stack.append((rn, cn))
+        return lab
+
+    from my_ocr_spark.kernel.morphology import label_components
+
+    rng = np.random.RandomState(5)
+    for density in (0.2, 0.45, 0.7):
+        for _ in range(40):
+            m = rng.rand(14, 14) < density
+            for conn in (4, 8):
+                assert (label_components(m, conn)
+                        == dfs_ref(m, conn)).all(), (density, conn)
+    # degenerate shapes
+    for m in (np.zeros((5, 5), bool), np.ones((5, 5), bool),
+              np.eye(6, dtype=bool), np.zeros((0, 0), bool)):
+        for conn in (4, 8):
+            assert (label_components(m, conn)
+                    == dfs_ref(m, conn)).all()
+    # page-scale: stripes + noise, run-based must stay fast and exact
+    big = rng.rand(300, 400) < 0.55
+    big[::7, :] = True
+    for conn in (4, 8):
+        assert (label_components(big, conn)
+                == dfs_ref(big, conn)).all()
