@@ -83,14 +83,18 @@ _NMS_OUT = T.StructType([
 
 
 _NMS_GREEDY_ORACLE = f"""
-    WITH RECURSIVE boxes AS (
+    WITH RECURSIVE boxes AS MATERIALIZED (
+        -- materialized: the greedy recursion below re-evaluates its
+        -- inputs per iteration when inlined (rank-count iterations x
+        -- a full window scan — measured 171 s at sf0.1)
         SELECT box_id, img, s, e, score,
                row_number() OVER (PARTITION BY img
                                   ORDER BY score DESC, box_id, s, e)
                    AS rnk
         FROM ({_BOXES_SQL})
     ),
-    sizes AS (SELECT img, max(rnk) AS mx FROM boxes GROUP BY img),
+    sizes AS MATERIALIZED (
+        SELECT img, max(rnk) AS mx FROM boxes GROUP BY img),
     greedy(img, r, kept) AS (
         -- kept tracks per-img RANKS (box_id is not unique in the
         -- synthetic lineitem; rnk is unique by construction)
@@ -1647,7 +1651,7 @@ def _textsnake_oracle(passes: int = _SKEL_PASSES) -> str:
     WITH RECURSIVE keys AS (
         SELECT o_orderkey AS img_id, o_orderkey AS k
         FROM orders WHERE o_orderkey % 37 = 0),
-    cells AS (
+    cells AS MATERIALIZED (
         SELECT img_id, r, c, ({mask}) AS m
         FROM keys,
              (SELECT unnest(generate_series(0, 11)) AS r),
@@ -1662,12 +1666,12 @@ def _textsnake_oracle(passes: int = _SKEL_PASSES) -> str:
         JOIN cells cl
           ON cl.img_id = rc.img_id AND cl.r = rc.r + o.dr
          AND cl.c = rc.c + o.dc AND NOT cl.m),
-    filled AS (
+    filled AS MATERIALIZED (
         SELECT cl.img_id, cl.r, cl.c,
                (cl.m OR rc.r IS NULL) AS f
         FROM cells cl LEFT JOIN reach rc
           ON rc.img_id = cl.img_id AND rc.r = cl.r AND rc.c = cl.c),
-    fpix AS (SELECT img_id, r, c FROM filled WHERE f),
+    fpix AS MATERIALIZED (SELECT img_id, r, c FROM filled WHERE f),
     lbl AS (
         SELECT img_id, r, c, r * 12 + c AS lab FROM fpix
         UNION
@@ -1678,7 +1682,8 @@ def _textsnake_oracle(passes: int = _SKEL_PASSES) -> str:
         JOIN fpix p
           ON p.img_id = l.img_id AND p.r = l.r + o.dr
          AND p.c = l.c + o.dc),
-    comp AS (SELECT img_id, r, c, min(lab) AS inst
+    comp AS MATERIALIZED (
+             SELECT img_id, r, c, min(lab) AS inst
              FROM lbl GROUP BY img_id, r, c),
     sg0 AS (
         SELECT img_id, list(CASE WHEN f THEN 1 ELSE 0 END ORDER BY i)

@@ -21,7 +21,7 @@ from my_ocr_spark.plans.registry import query, t
                CAST(l_suppkey % 150 AS BIGINT) AS y
         FROM lineitem
     ),
-    pts AS (
+    pts AS MATERIALIZED (
         SELECT img, x * 150 + y AS pid, x, y FROM raw
     ),
     pairs AS (
