@@ -571,7 +571,7 @@ _ST_YS_SPARK = """
                unnest(words) AS word
         FROM wds
     ),
-    segd AS (
+    segd AS MATERIALIZED (
         SELECT inst_id, k, bx, by, wpos, word,
                len(array_to_string(words[1:wpos], '')) - len(word) AS s0,
                len(word) AS wl
