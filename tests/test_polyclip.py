@@ -170,3 +170,31 @@ def test_quad_intersection_areas_batch_matches_scalar():
         n_zero += ref == 0.0
     assert 0 < n_zero < len(a)  # both branches exercised
     assert np.allclose(batch, quad_intersection_areas(a, b[:, ::-1]))
+
+
+def test_quad_intersection_areas_fuzz_arbitrary_orders():
+    """Arbitrary (possibly self-intersecting) subject vertex orders
+    must either raise the documented ValueError (buffer bound) or
+    match the scalar kernel exactly — never silently corrupt."""
+    import numpy as np
+
+    from my_ocr_spark.kernel.polyclip import (
+        poly_intersection_area, quad_intersection_areas,
+    )
+
+    rng = np.random.default_rng(9)
+    n_raised = 0
+    for _ in range(400):
+        a = rng.uniform(-10, 10, (4, 2))
+        b_base = rng.uniform(-8, 8, 2)
+        w, h = rng.uniform(2, 12, 2)
+        b = np.array([b_base, b_base + [w, 0],
+                      b_base + [w, h], b_base + [0, h]])
+        try:
+            got = quad_intersection_areas(a[None], b[None])[0]
+        except ValueError:
+            n_raised += 1
+            continue
+        ref = poly_intersection_area(a, b)
+        assert abs(got - ref) < 1e-9 * max(1.0, ref)
+    assert n_raised < 40  # the guard fires rarely, not routinely

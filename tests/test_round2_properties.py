@@ -136,3 +136,20 @@ def test_ctc_topk_select_invariants(scores, vr):
         assert idx[0] != 2  # never the blank as top-1 of a selected step
         assert len(idx) == len(vals) <= 2
         assert vals == sorted(vals, reverse=True) or vals[0] >= vals[-1]
+
+
+def test_c4_demo_plant_literals_match_across_engines():
+    """The demo plants must be VERBATIM identical in the rendered
+    oracle SQL and the Spark expressions (a round-5 f-string refactor
+    silently turned '{ code }' into '{{ code }}' on the SQL side —
+    masked because no current output emits the line text)."""
+    import inspect
+
+    from my_ocr_spark.plans import textpipe
+
+    sql = textpipe._c4_oracle(plant=True)
+    assert "' { code }'" in sql, sql[:400]
+    assert "' lorem ipsum'" in sql
+    src = inspect.getsource(textpipe._c4_lines)
+    assert '" { code }"' in src
+    assert '" lorem ipsum"' in src
