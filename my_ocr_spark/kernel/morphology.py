@@ -203,7 +203,7 @@ def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
     # label = row-major index of the component's first pixel: the
     # root run (lowest index) is the raster-first run of its component
     roots = np.array([find(i) for i in range(n_runs)])
-    seeds = rr[roots] * w + cs[roots]
+    seeds = (rr[roots] * w + cs[roots]).tolist()
     rrl = rr.tolist()
     for i in range(n_runs):
         lab[rrl[i], csl[i]:cel[i]] = seeds[i]

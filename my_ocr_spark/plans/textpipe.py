@@ -1930,6 +1930,8 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes with data size while each pack stays deterministic.
     Oracle: the same scan as a depth-bounded recursive CTE advancing
     one document per iteration per shard. Counts exact ints."""
+    from my_ocr_spark.operators.packing import greedy_pack
+
     d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
          .select("source", (F.col("doc_id") / 200).cast("long")
                  .alias("shard"), "doc_id",
@@ -1937,36 +1939,3 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_tok")))
     return greedy_pack(d, capacity=512)
 
-
-def greedy_pack(d: DataFrame, capacity: int = 512) -> DataFrame:
-    """Capacity-reset packing scan over (source, shard, doc_id, n_tok):
-    within each (source, shard), docs in doc_id order join the current
-    pack while fill + n_tok <= capacity, else open a new pack (1-based
-    ids; oversize docs get solo packs). One grouped map per shard."""
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    schema = T.StructType([
-        T.StructField("source", T.StringType(), True),
-        T.StructField("shard", T.LongType(), False),
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_tok", T.LongType(), False),
-        T.StructField("pack_id", T.LongType(), False),
-    ])
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids = []
-        pack_id, fill = 0, capacity + 1
-        for n in pdf["n_tok"]:
-            if fill + n <= capacity:
-                fill += n
-            else:
-                pack_id += 1
-                fill = n
-            pack_ids.append(pack_id)
-        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
-        return pdf[["source", "shard", "doc_id", "n_tok", "pack_id"]]
-
-    return d.groupBy("source", "shard").applyInPandas(run, schema=schema)

@@ -102,7 +102,7 @@ def test_sequence_pack_greedy_semantics(spark):
     next fitting one, shards pack independently."""
     from pyspark.sql import functions as F
 
-    from my_ocr_spark.plans.textpipe import greedy_pack
+    from my_ocr_spark.operators.packing import greedy_pack
 
     rows = [("s", 0, 1, 300), ("s", 0, 2, 300), ("s", 0, 3, 601),
             ("s", 0, 4, 11), ("s", 0, 5, 501), ("s", 1, 6, 400),
