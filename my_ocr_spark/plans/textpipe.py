@@ -1785,7 +1785,7 @@ def _decon_gram8_sql(src: str) -> str:
 )
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination (the GPT-3/PaLM-style n-gram overlap
-    scan every serious训练 corpus runs): flag corpus documents sharing
+    scan every serious training corpus runs): flag corpus documents sharing
     any normalized 8-gram with a held-out benchmark set. Benchmark =
     docs with doc_id % 101 == 0; a shared anchor phrase is planted
     into the benchmark docs AND every 23rd corpus doc on BOTH engines
