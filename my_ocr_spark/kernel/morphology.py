@@ -278,6 +278,18 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
         state = successor(*state)
         if state == first:
             break
+    else:
+        # A deterministic orbit must cycle, but nothing guarantees the
+        # cycle contains `first` (a rho-shaped orbit would loop past
+        # it forever).  That cannot happen for a valid component mask
+        # (the Jacob-criterion state space is closed under successor
+        # from first), so hitting the cap means the input violated the
+        # tracer's contract — fail loudly rather than hand db_decode a
+        # silently truncated boundary.
+        raise RuntimeError(
+            "trace_boundary: walk cap %d exhausted without closing the "
+            "ring (start pixel r=%d c=%d) — pathological mask" %
+            (cap, sr, sc))
     return np.asarray(walk, dtype=np.int64)
 
 

@@ -41,7 +41,10 @@ def greedy_pack(d: DataFrame, capacity: int = 512) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for _, g in pdf.groupby(["source", "shard"], sort=True):
+        # dropna=False: the schema declares source nullable, and a
+        # NULL-source shard must still be packed, not silently dropped.
+        for _, g in pdf.groupby(["source", "shard"], sort=True,
+                                dropna=False):
             g = g.sort_values("doc_id").reset_index(drop=True)
             pack_ids = []
             pack_id, fill = 0, capacity + 1

@@ -1933,7 +1933,7 @@ def sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_ocr_spark.operators.packing import greedy_pack
 
     d = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-         .select("source", (F.col("doc_id") / 200).cast("long")
+         .select("source", F.expr("doc_id div 200")
                  .alias("shard"), "doc_id",
                  F.size(F.split("text", " ")).cast("bigint")
                  .alias("n_tok")))

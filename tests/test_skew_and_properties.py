@@ -115,3 +115,22 @@ def test_sequence_pack_greedy_semantics(spark):
            for r in greedy_pack(d, capacity=512).collect()}
     assert [out[("s", i)] for i in range(1, 6)] == [1, 2, 3, 4, 4]
     assert out[("s", 6)] == 1 and out[("t", 7)] == 1  # fresh per shard
+
+
+def test_sequence_pack_null_source_shard_kept(spark):
+    """A NULL source is a valid shard key — pandas groupby's default
+    dropna=True would silently drop the whole shard (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from my_ocr_spark.operators.packing import greedy_pack
+
+    rows = [(None, 0, 1, 300), (None, 0, 2, 300), ("s", 0, 3, 100)]
+    d = spark.createDataFrame(
+        rows, ["source", "shard", "doc_id", "n_tok"]).select(
+        "source", F.col("shard").cast("long"), "doc_id",
+        F.col("n_tok").cast("long"))
+    out = {(r.source, r.doc_id): r.pack_id
+           for r in greedy_pack(d, capacity=512).collect()}
+    assert len(out) == 3                       # no rows lost
+    assert out[(None, 1)] == 1 and out[(None, 2)] == 2
+    assert out[("s", 3)] == 1
