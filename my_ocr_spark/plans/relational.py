@@ -603,8 +603,9 @@ def grouped_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT user_id, ts, event_id,
-               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    > 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
@@ -626,8 +627,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; windows run inside each partition."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact integer microseconds on BOTH engines: unix_timestamp()
+    # truncates to seconds while DuckDB epoch() keeps the fraction,
+    # which flips the >30min decision when a gap straddles the
+    # boundary by under a second (found live on generated sf data).
+    # timestampdiff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ).
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (e.withColumn("session_id", sess.cast("bigint"))
@@ -830,10 +837,11 @@ def tta_best_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sess AS (
         SELECT user_id, event_id, ts, event_type,
                CAST(sum(CASE WHEN prev IS NULL
-                        OR epoch(ts) - prev > 1800 THEN 1 ELSE 0 END)
+                        OR epoch_us(ts) - prev > 1800000000
+                        THEN 1 ELSE 0 END)
                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
-        FROM (SELECT *, lag(epoch(ts)) OVER
+        FROM (SELECT *, lag(epoch_us(ts)) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
               FROM events)
     ),
@@ -861,8 +869,14 @@ def seg_decode_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     string_agg ORDER BY ≡ Spark's array_sort+array_join)."""
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact integer microseconds on BOTH engines: unix_timestamp()
+    # truncates to seconds while DuckDB epoch() keeps the fraction,
+    # which flips the >30min decision when a gap straddles the
+    # boundary by under a second (found live on generated sf data).
+    # timestampdiff is NTZ-safe (unix_micros rejects TIMESTAMP_NTZ).
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = e.withColumn(
         "sess_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding,

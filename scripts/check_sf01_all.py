@@ -5,7 +5,13 @@ recorded — so the sweep survives tool/session time limits and is
 re-invoked until complete. Wall time per query is recorded too (the
 sweep doubles as a coarse per-query sf0.1 cost profile).
 
-Usage: python scripts/check_sf01_all.py [budget_seconds]
+Usage: python scripts/check_sf01_all.py [budget_seconds] [skip...]
+       python scripts/check_sf01_all.py [budget] --dir=DIR --out=FILE \
+           [--only=name1,name2] [--sf=1.0] [skip...]
+
+The --dir/--out/--only form runs the same harness against any fixture
+dir (e.g. a locally generated sf1.0 from scripts/gen_sf.py) with its
+own resumable results file.
 """
 
 from __future__ import annotations
@@ -25,11 +31,25 @@ SF = "/root/testdata/sf0.1"
 
 
 def main() -> int:
-    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
-    skip = set(sys.argv[2:])   # probe slow queries separately
+    args = sys.argv[1:]
+    sf_dir, out, sf_tag, only = SF, OUT, 0.1, None
+    pos = []
+    for a in args:
+        if a.startswith("--dir="):
+            sf_dir = a[6:]
+        elif a.startswith("--out="):
+            out = a[6:]
+        elif a.startswith("--sf="):
+            sf_tag = float(a[5:])
+        elif a.startswith("--only="):
+            only = set(a[7:].split(","))
+        else:
+            pos.append(a)
+    budget = float(pos[0]) if pos else 480.0
+    skip = set(pos[1:])   # probe slow queries separately
     done = set()
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(out):
+        with open(out) as f:
             done = {json.loads(ln)["name"] for ln in f if ln.strip()}
 
     import duckdb
@@ -38,7 +58,8 @@ def main() -> int:
     from my_ocr_spark.session import get_spark
 
     qs, oracles = E.queries(), E.oracle_sql()
-    todo = [n for n in qs if n not in done and n not in skip]
+    todo = [n for n in qs if n not in done and n not in skip
+            and (only is None or n in only)]
     if not todo:
         print("sweep complete:", len(done), "queries")
         return 0
@@ -48,17 +69,17 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
     t_start = time.time()
     for name in todo:
         if time.time() - t_start > budget:
             print(f"budget reached; {len(todo)} remaining at start, "
                   "re-invoke to continue")
             break
-        rec = {"name": name, "sf": 0.1}
+        rec = {"name": name, "sf": sf_tag}
         t0 = time.time()
         try:
-            sdf = canon(qs[name](spark, SF).toPandas())
+            sdf = canon(qs[name](spark, sf_dir).toPandas())
             rec["spark_rows"] = len(sdf)
             rec["spark_sec"] = round(time.time() - t0, 2)
             if name not in oracles:
@@ -83,7 +104,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — recorded, not fatal
             rec["status"] = "ERROR"
             rec["err"] = str(exc)[:400]
-        with open(OUT, "a") as f:
+        with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec["status"], name, rec.get("spark_sec"), flush=True)
     spark.stop()
