@@ -10,9 +10,12 @@ Decode strategy (north_rule: degrade, don't stub permanently):
    (loader.py:156-165);
 2. when a decoder exists and the payload is a decodable image, return
    real width/height/frames and a real luminance-energy feature;
-3. otherwise fall back to the clearly-labeled deterministic stub
+3. for PNG payloads the pure-stdlib codec (kernel/png.py: zlib inflate
+   + scanline unfilter) is a REAL in-container decode path — no image
+   library needed, same integer-luma feature as PIL's convert('L');
+4. otherwise fall back to the clearly-labeled deterministic stub
    (content-hash pseudo-metadata) so the pipeline shape stays testable
-   in this container (no image libs installed).
+   for formats this container genuinely cannot decode (JPEG etc.).
 
 The ``decoder`` field in the result says which path ran — honest
 observability instead of silent fakery.
@@ -65,5 +68,45 @@ def decode_payload(payload: bytes):
                     float(np.sqrt((arr ** 2).sum())), "pil")
         except Exception:
             pass  # not an image / decoder failed → honest fallback
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            from my_ocr_spark.kernel.png import decode_png, luma
+
+            px, meta = decode_png(payload)
+            arr = luma(px).astype(np.float64)
+            return (meta["width"], meta["height"], 1,
+                    float(np.sqrt((arr ** 2).sum())), "stdlib-png")
+        except ValueError:
+            pass  # malformed PNG → honest fallback
     w, h, nf, l2 = fake_decode(payload)
     return w, h, nf, l2, "stub"
+
+
+def decode_image_stats(payload: bytes):
+    """(width, height, channels, luma_sum, decoder) with an exact
+    INTEGER luma sum — the oracle-friendly decode surface (integer
+    arithmetic survives any fold order; the stdlib and PIL paths agree
+    on 8-bit images because both use the truncating ITU-R 601 luma).
+    Returns decoder='none' with zero metadata when nothing decodes."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            from my_ocr_spark.kernel.png import decode_png, luma
+
+            px, meta = decode_png(payload)
+            return (meta["width"], meta["height"], meta["channels"],
+                    int(luma(px).astype(np.int64).sum()), "stdlib-png")
+        except ValueError:
+            pass
+    img_mod = _get_pil()
+    if img_mod:
+        try:
+            import io
+
+            im = img_mod.open(io.BytesIO(payload))
+            channels = len(im.getbands())
+            arr = np.asarray(im.convert("L"), dtype=np.int64)
+            return (int(im.size[0]), int(im.size[1]), channels,
+                    int(arr.sum()), "pil")
+        except Exception:
+            pass
+    return 0, 0, 0, 0, "none"

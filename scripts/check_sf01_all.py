@@ -104,6 +104,29 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — recorded, not fatal
             rec["status"] = "ERROR"
             rec["err"] = str(exc)[:400]
+            # a driver-heap OOM kills the JVM and every later query
+            # would cascade into "Connection refused" — restart the
+            # session so one fatal query can't poison the sweep
+            msg = str(exc)
+            if ("Connection refused" in msg or "OutOfMemory" in msg
+                    or "Java heap space" in msg
+                    or "Answer from Java side is empty" in msg):
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                from pyspark import SparkContext
+                from pyspark.sql import SparkSession as _SS
+                SparkContext._gateway = None      # dead JVM: force a
+                SparkContext._jvm = None          # fresh gateway launch
+                _SS._instantiatedSession = None
+                _SS._activeSession = None
+                os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+                os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+                spark = get_spark(app_name="sf01_sweep",
+                                  master="local[16]",
+                                  shuffle_partitions=16)
+                rec["jvm_restarted"] = True
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec["status"], name, rec.get("spark_sec"), flush=True)

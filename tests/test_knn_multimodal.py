@@ -92,3 +92,35 @@ def test_decode_payload_falls_back_on_decoder_error(monkeypatch):
     monkeypatch.setattr(mm, "_PIL", Broken)
     *_, dec = mm.decode_payload(b"\x00garbage")
     assert dec == "stub"
+
+
+def test_decode_payload_real_png_path_in_container():
+    """PNG payloads take the pure-stdlib decode path — REAL pixels, no
+    image library, no stub (the round-6 'partial' conversion)."""
+    from my_ocr_spark.kernel.png import encode_png, luma
+    from my_ocr_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    payload = encode_png(img, filter_type=1)
+    w, h, nf, l2, dec = mm.decode_payload(payload)
+    assert dec == "stdlib-png"
+    assert (w, h, nf) == (9, 12, 1)
+    expect = float(np.sqrt((luma(img).astype(np.float64) ** 2).sum()))
+    assert abs(l2 - expect) < 1e-9
+    # malformed PNG body (good magic, bad structure) degrades honestly
+    *_, dec2 = mm.decode_payload(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    assert dec2 == "stub"
+
+
+def test_decode_image_stats_integer_luma():
+    from my_ocr_spark.kernel.png import encode_png, luma
+    from my_ocr_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (7, 11, 4), dtype=np.uint8)
+    w, h, ch, ls, dec = mm.decode_image_stats(encode_png(img,
+                                                         interlace=1))
+    assert (w, h, ch, dec) == (11, 7, 4, "stdlib-png")
+    assert ls == int(luma(img).astype(np.int64).sum())
+    assert mm.decode_image_stats(b"not an image")[4] == "none"
