@@ -899,11 +899,12 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("is_canonical") & good).alias("keep"))
 
 
-def _mix_report_oracle() -> str:
-    """DuckDB twin of curation_mix_report: the closed-form extraction
-    (same CTEs as the extract_maincontent oracle), the shared Gopher
-    CTE chain (textpipe._gopher_ctes) over the extracted text, then the
-    per-source rollup + sqrt-temperature mix shares."""
+def _mix_report_oracle(plant: bool = False) -> str:
+    """DuckDB twin of curation_mix_report[_demo]: the closed-form
+    extraction (same CTEs as the extract_maincontent oracle), the
+    shared Gopher CTE chain (textpipe._gopher_ctes) over the extracted
+    text — planted only for the _demo twin — then the per-source
+    rollup + sqrt-temperature mix shares."""
     from my_ocr_spark.plans.textpipe import (
         _GOPHER_PLANT_SQL, _MIX_SHARE_SQL, _NORM_SQL, _gopher_ctes,
     )
@@ -924,7 +925,8 @@ def _mix_report_oracle() -> str:
                string_split({_NORM_SQL}, ' ') AS w0
         FROM extracted2 WHERE length(text) > 0
     ),
-    gd AS ({_GOPHER_PLANT_SQL}
+    gd AS ({_GOPHER_PLANT_SQL if plant
+            else "SELECT doc_id, w0 AS w"}
         FROM gd0
     ),
     {_gopher_ctes('gd')},
@@ -950,20 +952,10 @@ def _mix_report_oracle() -> str:
     """
 
 
-@query("curation_mix_report", oracle=_mix_report_oracle())
-def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-level curation report a pipeline owner reads before a
-    training run, composed END-TO-END as one DAG from the round's
-    building blocks: HTML extraction (the real kernel, byte-identical) →
-    Gopher repetition gates per document (gopher_counts, planted
-    boilerplate included so the gate visibly fires) → per-source keep
-    counts and kept-byte volume → sqrt-temperature mixing shares over
-    the KEPT docs (the source_mixing_weights math applied post-curation,
-    i.e. the weights training would actually use). Only the extraction
-    stage is Python; everything downstream is JVM column math, two
-    aggregation shuffles, and a broadcast scalar. Oracle: the
-    closed-form extraction CTEs composed with the shared Gopher CTE
-    chain and the exact-integer rollup."""
+def _mix_report(spark: SparkSession, sf_dir: str,
+                plant: bool) -> DataFrame:
+    """Shared DAG of curation_mix_report (clean corpus) and its _demo
+    twin (gopher_plant fixture so every gate visibly fires)."""
     from my_ocr_spark.operators.dedup import normalized_col
     from my_ocr_spark.plans.flagship import flagship_extract
     from my_ocr_spark.plans.textpipe import (
@@ -989,8 +981,9 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input is a cheap plant over this scan, and a second checkpoint
     # would pin a duplicate copy of the word arrays
     d0 = d0.localCheckpoint(eager=True)
-    g = gopher_counts(gopher_plant(d0.select("doc_id", "w0")),
-                      materialize=False)
+    words = (gopher_plant(d0.select("doc_id", "w0")) if plant
+             else d0.select("doc_id", F.col("w0").alias("w")))
+    g = gopher_counts(words, materialize=False)
     j = (d0.select("doc_id", "source", "n_chars")
          .join(g.select("doc_id", "keep"), "doc_id"))
     rep = (j.groupBy("source")
@@ -1005,3 +998,35 @@ def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "n_docs", "n_kept", "kept_chars",
                     sqrt_mix_share(F.col("raw_w"), F.col("t"))
                      .alias("mix_share")))
+
+
+@query("curation_mix_report", oracle=_mix_report_oracle(plant=False))
+def curation_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level curation report a pipeline owner reads before a
+    training run, composed END-TO-END as one DAG from the round's
+    building blocks: HTML extraction (the real kernel, byte-identical) →
+    Gopher repetition gates per document (gopher_counts) → per-source
+    keep counts and kept-byte volume → sqrt-temperature mixing shares
+    over the KEPT docs (the source_mixing_weights math applied
+    post-curation, i.e. the weights training would actually use). Only
+    the extraction stage is Python; everything downstream is JVM column
+    math, two aggregation shuffles, and a broadcast scalar. This
+    registered query reads the UNMODIFIED corpus — the gopher_plant
+    fixture lives only in curation_mix_report_demo (no registered
+    query mutates its corpus outside _demo names). Oracle: the
+    closed-form extraction CTEs composed with the shared Gopher CTE
+    chain and the exact-integer rollup."""
+    return _mix_report(spark, sf_dir, plant=False)
+
+
+@query("curation_mix_report_demo", oracle=_mix_report_oracle(plant=True))
+def curation_mix_report_demo(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """curation_mix_report over a DEMONSTRATION corpus: gopher_plant
+    repeats each 17th doc's first 5 words 8x before the gates run so
+    the repetition rules provably fire and the report's kept counts
+    visibly move (the clean synthetic corpus is too uniform to trip
+    the n-gram gates). The corpus mutation is fixture, not operator
+    semantics — the clean twin above is the operator of record
+    (the round-5 Gopher/C4 _demo treatment, completed)."""
+    return _mix_report(spark, sf_dir, plant=True)

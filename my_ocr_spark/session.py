@@ -49,6 +49,12 @@ def get_spark(app_name: str = "my_ocr_spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the correctness harness collects full results to hash them;
+        # at sf1.0 a single join result passes 1 GiB serialized, so the
+        # 1g default kills the collect (found live). A cluster job
+        # never collects like this — the knob serves the local gate.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
