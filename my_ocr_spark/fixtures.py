@@ -119,6 +119,43 @@ def make_html(rng: random.Random, lang: str, pathological: bool) -> str:
     )
 
 
+def make_html_bomb(kind: str, size: int, seed: int = 7) -> str:
+    """Adversarial page generator for skew/robustness stress (SURVEY.md
+    §7.3 risk 2). Deterministic. Kinds:
+
+    - ``"blocks"``: ``size`` flat ``<p>`` blocks — exceeds
+      MAX_BLOCKS_PER_DOC at size>20000, exercising the block cap.
+    - ``"deep"``: one paragraph nested ``size`` ``<div>`` levels deep —
+      exercises the MAX_PATH_SEGMENTS O(depth^2) path-memory bound.
+    - ``"megatext"``: a single ``<p>`` holding ~``size`` bytes of text —
+      exercises single-block accumulation.
+    """
+    rng = random.Random(seed)
+    if kind == "blocks":
+        body = "\n".join(
+            f"<p>{_sentence(rng, _WORDS, 4, 9)}</p>" for _ in range(size))
+    elif kind == "deep":
+        core = f"<p>{_paragraph(rng, _WORDS)}</p>"
+        body = ("<div>" * size) + core + ("</div>" * size)
+    elif kind == "megatext":
+        sents = []
+        n = 0
+        while n < size:
+            s = _sentence(rng, _WORDS, 8, 14)
+            sents.append(s)
+            n += len(s) + 1
+        body = f"<p>{' '.join(sents)}</p>"
+    else:  # pragma: no cover - caller error
+        raise ValueError(f"unknown bomb kind: {kind}")
+    return (
+        "<!DOCTYPE html><html><head><title>bomb page</title></head>"
+        f'<body><header><nav><ul><li><a href="/h">Home</a></li></ul>'
+        f"</nav></header><main><article>{body}</article></main>"
+        '<footer><p>© 2024 Example Corp. All rights reserved.</p>'
+        "</footer></body></html>"
+    )
+
+
 _BASE_TS = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 

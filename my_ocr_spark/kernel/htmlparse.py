@@ -40,6 +40,16 @@ MAX_BLOCKS_PER_DOC = 20000  # skew bound, analog of max_candidates=3000
 # (``mmocr/models/textdet/postprocess/wrapper.py:183``): caps worst-case
 # per-document work on pathological pages.
 
+MAX_PATH_SEGMENTS = 256  # tag_path depth bound. The incremental
+# ``_bpaths`` table stores one '/'-joined path string per open block
+# level, so an adversarial page nested D blocks deep would otherwise
+# materialize O(D^2) characters of path strings (a 100k-deep <div> bomb
+# is ~40 GB) — an executor-killer at crawl scale. Blocks deeper than
+# this inherit the depth-cap ancestor's path (their own ``tag`` field
+# stays exact); no real page approaches 256 block levels, and the
+# scorer never reads tag_path (it uses the O(1) in_nav_footer flag),
+# so extraction text is unaffected.
+
 
 @dataclass(slots=True)
 class Block:
@@ -144,7 +154,12 @@ class _BlockParser(HTMLParser):
         if tag in _BLOCK_TAGS:
             # opening a nested block: flush nothing yet; text accumulated in
             # the parent before this point stays with the parent.
-            path = self._bpaths[-1] + "/" + tag if self._bpaths else tag
+            if not self._bpaths:
+                path = tag
+            elif len(self._bpaths) >= MAX_PATH_SEGMENTS:
+                path = self._bpaths[-1]  # depth cap: reuse, don't grow
+            else:
+                path = self._bpaths[-1] + "/" + tag
             self._bpaths.append(path)
             self._stack.append(_OpenBlock(tag=tag, tag_path=path,
                                           depth=len(self._tagstack),

@@ -33,7 +33,15 @@ def greedy_pack(d: DataFrame, capacity: int = 512) -> DataFrame:
     defaultParallelism-scaled buckets and each Python call packs every
     complete shard in its bucket via a pandas groupby — the
     tiny-group applyInPandas launcher cost (CLAUDE.md invariant 5)
-    stays amortized while shard-level determinism is untouched."""
+    stays amortized while shard-level determinism is untouched.
+
+    The per-doc capacity loop stays plain Python BY MEASUREMENT (round-6
+    note, per the vectorize-or-document task): isolated at sf0.1 it runs
+    17.7 ms for 5000 docs (~3.5 us/doc) — 0.15% of the registered
+    query's wall, which is dominated by upstream tokenization. A numpy
+    capacity-reset cumsum would complicate the reset semantics for a
+    sub-0.2% stage; shards are the parallel unit, so per-shard scan cost
+    is bounded (~hundreds of docs) at any corpus scale."""
     spark = d.sparkSession
     from my_ocr_spark.session import bucket_count
 

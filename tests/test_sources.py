@@ -86,3 +86,68 @@ def test_pyfiles_zip_is_importable(tmp_path):
                          capture_output=True, text=True, cwd=str(tmp_path))
     assert out.returncode == 0, out.stderr[-1500:]
     assert "ZIPOK" in out.stdout
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, docs_df, tmp_path):
+    """The north_rule's invocation mode, for real: the actual
+    ``spark-submit --py-files my_ocr_spark.zip job.py`` binary runs the
+    flagship extraction against a parquet input and its output matches
+    the in-process run byte-for-byte (url → md5(text)).
+
+    The job script builds a bare ``SparkSession.builder.getOrCreate()``
+    (no master, no configs) so the submit-time ``--master``/``--conf``
+    must actually take effect — validating the session-factory
+    precedence note (session.py:20-26) in practice: a cluster job
+    bypasses the local-default factory and still runs the package.
+    Runs with cwd=tmp_path and the repo stripped from PYTHONPATH, so the
+    package genuinely serves from the zip."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+        pytest.skip("no spark-submit binary in container")
+
+    from scripts.make_pyfiles import build
+
+    zip_path = build(str(tmp_path))
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "extracted")
+    docs_df.write.parquet(src)
+
+    job = tmp_path / "job.py"
+    job.write_text(
+        "import sys\n"
+        "from pyspark.sql import SparkSession, functions as F\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "assert spark.sparkContext.master == 'local[2]', "
+        "spark.sparkContext.master\n"
+        "from my_ocr_spark.operators.extract import extract_docs, "
+        "latest_snapshot\n"
+        "docs = spark.read.parquet(sys.argv[1])\n"
+        "ex = extract_docs(latest_snapshot(docs))\n"
+        "ex.select('url', F.md5('text').alias('h')).write.parquet("
+        "sys.argv[2])\n"
+        "spark.stop()\n")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    p = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=2",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, str(job), src, out],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+        env=env)
+    assert p.returncode == 0, p.stderr[-3000:]
+
+    got = {(r["url"], r["h"]) for r in spark.read.parquet(out).collect()}
+    from my_ocr_spark.operators.extract import extract_docs, latest_snapshot
+    from pyspark.sql import functions as F
+    want = {(r["url"], r["h"])
+            for r in extract_docs(latest_snapshot(docs_df))
+            .select("url", F.md5("text").alias("h")).collect()}
+    assert got == want and len(got) > 0
