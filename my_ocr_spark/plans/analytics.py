@@ -389,6 +389,87 @@ def extract_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fat-page extraction oracle: the thin-page closed form extended to k
+# repeated copies per doc, INCLUDING the MAX_BLOCKS_PER_DOC=20000 cap.
+# Block layout per fat page: 3 nav <li> flush first, then k*cpc
+# paragraph chunks in doc order, then 2 aside <li> + 2 footer blocks —
+# so the cap admits at most 19997 paragraph instances (m below), and
+# n_blocks = least(k*cpc + 7, 20000). A partial trailing chunk (<4
+# words, <25 chars) that the thin page DROPS becomes sandwich-KEPT
+# between copies (prev/next neighbors are full 10-word chunks) —
+# except for the very last included instance, whose right neighbor is a
+# dropped aside <li> or doesn't exist at all: gidx + 1 <= m captures
+# exactly that.
+_FAT_EXTRACT_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, source, string_split(text, ' ') AS words,
+               CASE WHEN doc_id % 997 = 0
+                    THEN 1 + 200000 // len(string_split(text, ' '))
+                    ELSE 1 + (((doc_id*37) % 97) * ((doc_id*37) % 97))
+                         // 32 END AS k
+        FROM documents),
+    u AS (SELECT doc_id, source, k, unnest(words) AS word,
+                 unnest(generate_series(1, len(words))) AS gs FROM w),
+    chunks AS MATERIALIZED (
+        SELECT doc_id, source, k,
+               CAST(floor((gs - 1) / 10) AS INT) AS chunk_id,
+               string_agg(word, ' ' ORDER BY gs) AS chunk
+        FROM u
+        GROUP BY doc_id, source, k, CAST(floor((gs - 1) / 10) AS INT)),
+    meta AS (SELECT doc_id, max(chunk_id) + 1 AS cpc
+             FROM chunks GROUP BY doc_id),
+    inst AS (
+        SELECT c.doc_id, c.source, c.k, m.cpc, c.chunk_id, c.chunk,
+               (length(c.chunk) >= 25
+                OR len(string_split(c.chunk, ' ')) >= 4) AS kept_base,
+               unnest(generate_series(1, c.k)) AS copy
+        FROM chunks c JOIN meta m USING (doc_id)),
+    g AS (
+        SELECT *, (copy - 1) * cpc + chunk_id + 1 AS gidx,
+               least(k * cpc, 19997) AS m
+        FROM inst),
+    kept AS (
+        SELECT *, kept_base OR (chunk_id = cpc - 1 AND cpc >= 2
+                                AND gidx + 1 <= m) AS keep
+        FROM g WHERE gidx <= m)
+    SELECT 'https://' || source || '.example/f/' || CAST(doc_id AS VARCHAR)
+               AS url,
+           'doc' AS title,
+           md5(coalesce(string_agg(chunk, chr(10) || chr(10)
+               ORDER BY gidx) FILTER (WHERE keep), '')) AS text_md5,
+           CAST(coalesce(length(string_agg(chunk, chr(10) || chr(10)
+               ORDER BY gidx) FILTER (WHERE keep)), 0) AS INT)
+               AS text_len,
+           CAST(least(k * cpc + 7, 20000) AS INT) AS n_blocks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           TRUE AS parse_ok
+    FROM kept GROUP BY doc_id, source, k, cpc
+"""
+
+
+@query("extract_fat_maincontent", oracle=_FAT_EXTRACT_ORACLE)
+def extract_fat_maincontent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical extraction evidence at REALISTIC page sizes: the
+    flagship extraction over synthesize_fat_arith's ~60-250 KB pages
+    plus ~0.1% multi-MB bombs that exceed MAX_BLOCKS_PER_DOC — so the
+    block cap's truncation semantics (first 19997 paragraph instances
+    after the 3 nav blocks) are themselves verified against a DuckDB
+    closed form, md5 included. Complements extract_maincontent, whose
+    ~0.9 KB pages under-represent real crawl documents."""
+    from my_ocr_spark.operators.extract import extract_docs
+    from my_ocr_spark.plans.flagship import synthesize_fat_arith
+
+    out = extract_docs(synthesize_fat_arith(spark, sf_dir))
+    return out.select(
+        "url", "title",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("int").alias("text_len"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        "parse_ok",
+    )
+
+
 _DECODE_OUT = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("media_type", T.StringType(), False),

@@ -62,6 +62,100 @@ def synthesize_cc_docs(spark: SparkSession, sf_dir: str,
     )
 
 
+def synthesize_fat_docs(spark: SparkSession, sf_dir: str,
+                        mean_bytes: int = 60_000, sigma: float = 1.5,
+                        cap_bytes: int = 4_000_000,
+                        partitions: int | None = None) -> DataFrame:
+    """CC-style table with REALISTIC page sizes: log-normal html length
+    (default mean ~60 KB, multi-MB tail, 4 MB cap) instead of the ~1 KB
+    synthetic pages the headline bench uses. Real Common-Crawl pages
+    average tens of KB, and Arrow batch BYTES — not rows — is the
+    throughput lever (CLAUDE.md invariant 5), so per-byte throughput
+    must be measured on fat pages too (scripts/bench_fatpages.py).
+
+    Fully declarative and deterministic: a standard-normal deviate per
+    doc via the Irwin–Hall sum of 12 xxhash64-seeded uniforms, target
+    size = mean * exp(sigma*z - sigma^2/2) (unit mean), and the body is
+    the paragraphized text repeated ceil(target/len) times JVM-side —
+    the fat column never crosses a shuffle (built after the narrow
+    repartition)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 4
+    docs = docs.repartition(partitions, F.col("doc_id"))
+    u = [(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(1_000_000))
+          + 0.5) / 1_000_000.0 for i in range(12)]
+    z = sum(u[1:], u[0]) - F.lit(6.0)
+    target = F.least(
+        F.lit(float(cap_bytes)),
+        F.lit(float(mean_bytes))
+        * F.exp(F.lit(sigma) * z - F.lit(sigma * sigma / 2.0)))
+    body = F.regexp_replace(F.col("text"), r"((\S+ ){10})", r"$1</p><p>")
+    k = F.greatest(
+        F.lit(1),
+        F.ceil(target / F.octet_length(body)).cast("int"))
+    prepared = docs.select(
+        "doc_id", "source", "text", "lang",
+        body.alias("body"), k.alias("k"))
+    return prepared.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/f/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                              F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(F.concat(F.lit(_HTML_PREFIX),
+                          F.expr("repeat(body, k)"),
+                          F.lit(_HTML_SUFFIX)), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def synthesize_fat_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-twin of ``synthesize_fat_docs``: fat pages whose size law
+    is pure integer arithmetic (no xxhash64, which DuckDB lacks), so the
+    extraction over them gets a closed-form DuckDB oracle — including
+    pages that exceed MAX_BLOCKS_PER_DOC, making the block-cap
+    truncation itself oracle-checked.
+
+    k copies per doc: 1 + (((doc_id*37)%97)^2) div 32 (mean ~97 →
+    ~60-250 KB pages), overridden to 1 + 200000 div n_words on
+    doc_id % 997 == 0 — that floor GUARANTEES k*chunks > 19997 for any
+    document length (k*cpc >= (200000/nw)*(nw/10) = 20000), so the
+    ~0.1% bombs always trip the 20000-block cap at ~1.2 MB page size.
+    Each repeated unit is
+    the paragraphized text plus its own closing break, so copies never
+    merge mid-paragraph and the per-copy chunk structure equals the thin
+    page's (the proven extract_maincontent closed form)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 4,
+                            F.col("doc_id"))
+    k = F.when(
+        F.col("doc_id") % 997 == 0,
+        F.expr("1 + 200000 div size(split(text, ' '))")
+    ).otherwise(F.expr(
+        "1 + (((doc_id*37) % 97) * ((doc_id*37) % 97)) div 32"))
+    body = F.regexp_replace(F.col("text"), r"((\S+ ){10})", r"$1</p><p>")
+    prepared = docs.select(
+        "doc_id", "source", "text", "lang",
+        F.concat(body, F.lit("</p><p>")).alias("unit"),
+        k.cast("int").alias("k"))
+    return prepared.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/f/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                              F.col("doc_id").cast("double"))
+         ).alias("warc_ts"),
+        F.encode(F.concat(F.lit(_HTML_PREFIX),
+                          F.expr("repeat(unit, k)"),
+                          F.lit(_HTML_SUFFIX)), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CC-table synth → latest-snapshot dedup → extraction → narrow output.
 
