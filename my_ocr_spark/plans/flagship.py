@@ -65,7 +65,8 @@ def synthesize_cc_docs(spark: SparkSession, sf_dir: str,
 def synthesize_fat_docs(spark: SparkSession, sf_dir: str,
                         mean_bytes: int = 60_000, sigma: float = 1.5,
                         cap_bytes: int = 4_000_000,
-                        partitions: int | None = None) -> DataFrame:
+                        partitions: int | None = None,
+                        copies: int = 1) -> DataFrame:
     """CC-style table with REALISTIC page sizes: log-normal html length
     (default mean ~60 KB, multi-MB tail, 4 MB cap) instead of the ~1 KB
     synthetic pages the headline bench uses. Real Common-Crawl pages
@@ -78,10 +79,26 @@ def synthesize_fat_docs(spark: SparkSession, sf_dir: str,
     size = mean * exp(sigma*z - sigma^2/2) (unit mean), and the body is
     the paragraphized text repeated ceil(target/len) times JVM-side —
     the fat column never crosses a shuffle (built after the narrow
-    repartition)."""
+    repartition).
+
+    ``copies`` amplifies the NARROW rows before synthesis, each copy a
+    DISTINCT page (the size hash is seeded with the copy id), and the
+    default partition count is parallelism*16 — finer than the thin
+    corpus's *4 because heavy-tailed page sizes make per-task bytes
+    skewed: small tasks let dynamic scheduling absorb the tail
+    (measured: 128 coarse partitions at local[32] cost ~2x in stage
+    wall vs fine partitions purely from end-of-stage stragglers)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if copies > 1:
+        docs = (docs.withColumn(
+                    "copy", F.explode(F.sequence(F.lit(0),
+                                                 F.lit(copies - 1))))
+                    .withColumn("doc_id", F.col("doc_id")
+                                * copies + F.col("copy")))
+    else:
+        docs = docs.withColumn("copy", F.lit(0))
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 4
+        partitions = spark.sparkContext.defaultParallelism * 16
     docs = docs.repartition(partitions, F.col("doc_id"))
     u = [(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(i)), F.lit(1_000_000))
           + 0.5) / 1_000_000.0 for i in range(12)]

@@ -41,12 +41,7 @@ from pyspark.sql import functions as F
 spark = get_spark(app_name=f"fat-{cores}-{arrow}",
                   master=f"local[{cores}]", shuffle_partitions=int(cores))
 spark.sparkContext.setLogLevel("ERROR")
-fat = synthesize_fat_docs(spark, sf_dir)
-corpus = (fat.withColumn("copy", F.explode(F.sequence(F.lit(0),
-                                                      F.lit(copies - 1))))
-             .withColumn("url", F.concat("url", F.lit("?v="),
-                                         F.col("copy").cast("string")))
-             .drop("copy"))
+corpus = synthesize_fat_docs(spark, sf_dir, copies=copies)
 n_docs, n_bytes = corpus.select(
     F.count("*"), F.sum(F.octet_length("html"))).collect()[0]
 # warm-up touches every partition (see bench_scaling.py note)
