@@ -104,32 +104,45 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — recorded, not fatal
             rec["status"] = "ERROR"
             rec["err"] = str(exc)[:400]
-            # a driver-heap OOM kills the JVM and every later query
-            # would cascade into "Connection refused" — restart the
-            # session so one fatal query can't poison the sweep
-            msg = str(exc)
-            if ("Connection refused" in msg or "OutOfMemory" in msg
-                    or "Java heap space" in msg
-                    or "Answer from Java side is empty" in msg):
-                try:
-                    spark.stop()
-                except Exception:
-                    pass
-                from pyspark import SparkContext
-                from pyspark.sql import SparkSession as _SS
-                SparkContext._gateway = None      # dead JVM: force a
-                SparkContext._jvm = None          # fresh gateway launch
-                _SS._instantiatedSession = None
-                _SS._activeSession = None
-                os.environ.pop("PYSPARK_GATEWAY_PORT", None)
-                os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
-                spark = get_spark(app_name="sf01_sweep",
-                                  master="local[16]",
-                                  shuffle_partitions=16)
-                rec["jvm_restarted"] = True
+        # record FIRST: the JVM-restart below is itself fallible (a
+        # dead gateway once made get_spark assert mid-handler, which
+        # escaped main() and lost the in-flight query's record)
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(rec["status"], name, rec.get("spark_sec"), flush=True)
+        if rec["status"] == "ERROR":
+            # a driver-heap OOM kills the JVM and every later query
+            # would cascade into "Connection refused" — restart the
+            # session so one fatal query can't poison the sweep
+            msg = rec["err"]
+            if ("Connection refused" in msg or "OutOfMemory" in msg
+                    or "Java heap space" in msg
+                    or "Answer from Java side is empty" in msg
+                    or "Py4JNetworkError" in msg):
+                try:
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    from pyspark import SparkContext
+                    from pyspark.sql import SparkSession as _SS
+                    SparkContext._gateway = None  # dead JVM: force a
+                    SparkContext._jvm = None      # fresh gateway launch
+                    SparkContext._active_spark_context = None
+                    _SS._instantiatedSession = None
+                    _SS._activeSession = None
+                    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+                    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+                    spark = get_spark(app_name="sf01_sweep",
+                                      master="local[16]",
+                                      shuffle_partitions=16)
+                    spark.range(1).count()   # prove the gateway works
+                    print("jvm restarted after", name, flush=True)
+                except Exception as rexc:  # noqa: BLE001
+                    print("jvm restart failed after", name, ":",
+                          str(rexc)[:200], "— exiting for re-invoke",
+                          flush=True)
+                    return 3
     spark.stop()
     return 0
 
