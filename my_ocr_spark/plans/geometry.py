@@ -19,7 +19,7 @@ from my_ocr_spark.plans.relational import _GT_SQL, _PRED_SQL, _gt_pred
 
 _BOXES_SQL = """
     SELECT l_orderkey * 10 + l_linenumber AS box_id,
-           l_orderkey % 2000 AS img,
+           l_orderkey // 10 AS img,
            CAST(l_partkey % 1000 AS DOUBLE) AS s,
            CAST(l_partkey % 1000 + 40 + l_suppkey % 89 AS DOUBLE) AS e,
            round(l_discount * 10, 2) AS score

@@ -188,24 +188,34 @@ def fanout_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kie_relation_crossjoin",
     oracle="""
     SELECT a.c_custkey AS src, b.c_custkey AS dst,
-           a.c_nationkey AS nation,
+           a.c_custkey // 30 AS grp,
            round(a.c_acctbal - b.c_acctbal, 2) AS dbal
-    FROM customer a JOIN customer b ON a.c_nationkey = b.c_nationkey
+    FROM customer a JOIN customer b ON a.c_custkey // 30 = b.c_custkey // 30
     WHERE a.c_custkey < b.c_custkey
     """,
 )
 def kie_relation_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KIE compute_relation (kie_dataset.py:207-218): per-group self
     cross-join emitting pairwise features. Self-equi-join on the group key
-    keeps the product within groups (never a global cross join)."""
+    keeps the product within groups (never a global cross join).
+
+    The group key is custkey // 30 — one "image" per 30 customers — so
+    per-group density stays CONSTANT as SF grows, like the reference's
+    per-image node sets (kie_dataset.py computes relations among the
+    boxes of ONE annotation file). The old c_nationkey key had 25 groups
+    total, so group size grew linearly with SF and the pair output grew
+    quadratically (450M rows / 354 s at sf1.0 — no real image does that;
+    CLAUDE.md invariant 6)."""
     c = t(spark, sf_dir, "customer")
     a = c.alias("a")
     b = c.alias("b")
-    return (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+    ga = F.expr("a.c_custkey div 30")
+    gb = F.expr("b.c_custkey div 30")
+    return (a.join(b, (ga == gb)
                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
             .select(F.col("a.c_custkey").alias("src"),
                     F.col("b.c_custkey").alias("dst"),
-                    F.col("a.c_nationkey").alias("nation"),
+                    F.expr("a.c_custkey div 30").alias("grp"),
                     F.round(F.col("a.c_acctbal") - F.col("b.c_acctbal"), 2)
                      .alias("dbal")))
 
@@ -215,14 +225,14 @@ def kie_relation_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relationally (1-D intervals; the 2-D case differs only in arithmetic).
 
 _GT_SQL = """
-    SELECT o_orderkey AS gt_id, o_orderkey % 2000 AS img,
+    SELECT o_orderkey AS gt_id, o_orderkey // 10 AS img,
            CAST(o_orderkey % 1000 AS DOUBLE) AS s,
            CAST(o_orderkey % 1000 + 50 + o_orderkey % 97 AS DOUBLE) AS e
     FROM orders
 """
 _PRED_SQL = """
     SELECT l_orderkey * 10 + l_linenumber AS pred_id,
-           l_orderkey % 2000 AS img,
+           l_orderkey // 10 AS img,
            CAST(l_partkey % 1000 AS DOUBLE) AS s,
            CAST(l_partkey % 1000 + 40 + l_suppkey % 89 AS DOUBLE) AS e,
            round(l_discount * 10, 2) AS score
@@ -231,18 +241,24 @@ _PRED_SQL = """
 
 
 def _gt_pred(spark: SparkSession, sf_dir: str):
+    # img = orderkey // 10 keeps PER-IMAGE gt/pred density constant as SF
+    # grows (the old % 2000 key packed ~750 gt x 3000 pred per image at
+    # sf1.0 — quadratic pair counts in SF, a 3850 s sf1.0 NMS oracle, and
+    # an unfinishable greedy-NMS recursion; the round-1 join-key lesson,
+    # CLAUDE.md invariant 6). Images must scale with data; per-image box
+    # counts must not — no real page grows denser because the corpus grew.
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     gt = o.select(
         F.col("o_orderkey").alias("gt_id"),
-        (F.col("o_orderkey") % 2000).alias("img"),
+        F.expr("o_orderkey div 10").alias("img"),
         (F.col("o_orderkey") % 1000).cast("double").alias("s"),
         (F.col("o_orderkey") % 1000 + 50 + F.col("o_orderkey") % 97)
         .cast("double").alias("e"),
     )
     pred = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pred_id"),
-        (F.col("l_orderkey") % 2000).alias("img"),
+        F.expr("l_orderkey div 10").alias("img"),
         (F.col("l_partkey") % 1000).cast("double").alias("s"),
         (F.col("l_partkey") % 1000 + 40 + F.col("l_suppkey") % 89)
         .cast("double").alias("e"),
