@@ -564,7 +564,7 @@ _DISKS_OUT = T.StructType([
 
 _MERGE_DISKS_ORACLE = """
     WITH RECURSIVE disks AS (
-        SELECT l_orderkey % 1000 AS img,
+        SELECT l_orderkey // 10 AS img,
                CAST(l_partkey % 300 AS DOUBLE) AS x,
                CAST(l_suppkey % 200 AS DOUBLE) AS y,
                CAST(l_linenumber * 3 + 5 AS DOUBLE) AS r,
@@ -645,8 +645,14 @@ def merge_disks_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_ocr_spark.kernel.pathops import merge_disks
 
     li = t(spark, sf_dir, "lineitem")
+    # img = orderkey // 10: ~10 disks per image at every SF (TextSnake
+    # images carry tens of center disks, never thousands). The old
+    # % 1000 key grew per-image disk counts linearly with SF, making the
+    # per-image greedy quadratic in SF and the oracle recursion carry
+    # ~6000-element coordinate arrays through ~100 levels at sf1.0
+    # (the synthtext OOM class; CLAUDE.md invariant 6).
     disks = li.select(
-        (F.col("l_orderkey") % 1000).alias("img"),
+        F.expr("l_orderkey div 10").alias("img"),
         (F.col("l_partkey") % 300).cast("double").alias("x"),
         (F.col("l_suppkey") % 200).cast("double").alias("y"),
         (F.col("l_linenumber") * 3 + 5).cast("double").alias("r"),
