@@ -300,16 +300,19 @@ def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most once) — the oracle implements the same per-GT relaxation, so
     both engines agree by construction."""
     # Cogrouped numpy matcher: both sides shuffle once on the bucketed
-    # image key, then each image's full IoU matrix is ONE vectorized
-    # numpy evaluation (row-major (gt x pred) block, ~180 KB at the
-    # fixture's per-image caps) instead of 45M pair evaluations through
-    # codegen + a max(struct) aggregate. Measured at sf0.1: 1.75 s warm
-    # vs 4.3-5.6 s for the declarative broadcast-join + agg plan (which
-    # this replaced; round-1 history: that plan was itself 2.3x over a
-    # rank window). The tie-break (iou DESC, pred_id ASC) is free:
-    # pred columns are pre-sorted by pred_id and np.argmax returns the
-    # FIRST maximum. Per-image box counts are bounded upstream
-    # (max_candidates analog), which bounds the matrix block at scale.
+    # image key, then a bucket's ENTIRE gt x pred candidate set is built
+    # flat (searchsorted per-gt pred ranges -> repeat/cumsum pair index
+    # vectors) and evaluated as single SIMD numpy expressions, with the
+    # per-gt best taken by segment reduceat. This is image-count
+    # INDEPENDENT: the round-6 density-constant fixture (img = key//10)
+    # has ~7.5x more, ~10x40-box images than the old %2000 fixture, and
+    # the previous per-image python loop went from amortized-free to the
+    # dominant cost (hmean bench 1.1 s -> 8.4 s). Flat pairs restore it.
+    # The tie-break (iou DESC, pred_id ASC) is free: pred columns are
+    # pre-sorted by pred_id inside each image, so the FIRST maximum in a
+    # segment is the lowest pred_id. Per-image box counts are bounded
+    # upstream (max_candidates analog), which bounds pairs-per-gt at
+    # scale; pairs-per-bucket is then linear in bucket rows.
     gt, pred = _gt_pred(spark, sf_dir)
     out_schema = T.StructType([
         T.StructField("gt_id", T.LongType(), False),
@@ -335,37 +338,45 @@ def iou_theta_join_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         pimg = pp["pimg"].to_numpy(np.int64)
         ps_a, pe_a = pp["ps"].to_numpy(), pp["pe"].to_numpy()
         pid_a = pp["pred_id"].to_numpy(np.int64)
-        gkeys, gstarts = np.unique(gimg, return_index=True)
-        gbounds = np.append(gstarts, len(gimg))
-        og, op, oi, ov = [], [], [], []
-        for k in range(len(gkeys)):
-            img = gkeys[k]
-            s0, e0 = gbounds[k], gbounds[k + 1]
-            pl = np.searchsorted(pimg, img, "left")
-            pr = np.searchsorted(pimg, img, "right")
-            if pl == pr:
-                continue
-            gs, ge = gs_a[s0:e0], ge_a[s0:e0]
-            ps, pe = ps_a[pl:pr], pe_a[pl:pr]
-            pid = pid_a[pl:pr]  # pred_id-sorted → argmax tie = lowest id
-            lo = np.maximum(gs[:, None], ps[None, :])
-            hi = np.minimum(ge[:, None], pe[None, :])
-            inter = np.maximum(0.0, hi - lo)
-            union = (ge - gs)[:, None] + (pe - ps)[None, :] - inter
-            iou = inter / union  # same float64 op order as the oracle
-            iou_m = np.where((hi > lo) & (iou > 0.3), iou, -1.0)
-            j = iou_m.argmax(axis=1)
-            best = iou_m[np.arange(len(gs)), j]
-            ok = best > 0
-            og.append(gid[s0:e0][ok])
-            op.append(pid[j[ok]])
-            oi.append(np.full(int(ok.sum()), img, dtype=np.int64))
-            ov.append(best[ok])
-        if not og:
+        # flat candidate pairs: gt row i pairs with preds in
+        # [pl[i], pr[i]) of the pred_id-sorted pred arrays
+        pl = np.searchsorted(pimg, gimg, "left")
+        pr = np.searchsorted(pimg, gimg, "right")
+        cnt = pr - pl
+        total = int(cnt.sum())
+        if total == 0:
             return pd.DataFrame(empty)
+        starts = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=starts[1:])
+        gidx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        pidx = (np.arange(total, dtype=np.int64)
+                - np.repeat(starts[:-1], cnt) + np.repeat(pl, cnt))
+        gs, ge = gs_a[gidx], ge_a[gidx]
+        ps, pe = ps_a[pidx], pe_a[pidx]
+        lo = np.maximum(gs, ps)
+        hi = np.minimum(ge, pe)
+        inter = np.maximum(0.0, hi - lo)
+        union = (ge - gs) + (pe - ps) - inter
+        iou = inter / union  # same float64 op order as the oracle
+        iou_m = np.where((hi > lo) & (iou > 0.3), iou, -1.0)
+        # per-gt segment max + FIRST-max position (preds ascend by
+        # pred_id within a segment, so first max = lowest pred_id).
+        # reduceat over nonzero segments only: empty segments have
+        # zero width between consecutive nonzero starts, so boundaries
+        # at starts[gsel] span exactly the right pair runs.
+        gsel = np.flatnonzero(cnt)
+        best = np.maximum.reduceat(iou_m, starts[gsel])
+        best_per_pair = np.repeat(best, cnt[gsel])
+        pos = np.where(iou_m == best_per_pair,
+                       np.arange(total, dtype=np.int64), total)
+        first = np.minimum.reduceat(pos, starts[gsel])
+        ok = best > 0
+        if not ok.any():
+            return pd.DataFrame(empty)
+        grows = gsel[ok]
         return pd.DataFrame({
-            "gt_id": np.concatenate(og), "pred_id": np.concatenate(op),
-            "img": np.concatenate(oi), "iou": np.concatenate(ov)})
+            "gt_id": gid[grows], "pred_id": pid_a[pidx[first[ok]]],
+            "img": gimg[grows], "iou": best[ok]})
 
     # bucket many small image groups per Python call; bucket count tracks
     # session parallelism (was a hardcoded 64 — a concurrency cap at scale)
