@@ -55,10 +55,16 @@ def _port_open(host: str, port: int) -> bool:
 
 # The job imports my_ocr_spark ONLY from the --py-files zip (PYTHONPATH is
 # stripped); corpus amplification is inlined (bench.py isn't in the zip).
+# The extraction and shuffle metrics are SEPARATE spark-submit apps:
+# whichever runs second in a shared app inherits the first's executor
+# state and reads 1.7-20x slow (measured both orders — a 1.5 s shuffle
+# read 28-30 s after extraction; extraction read 36k docs/s after the
+# persist+shuffle job vs 62-64k in fresh JVMs). Fresh executors per
+# metric is the only clean protocol; executors die with the app.
 _JOB = r"""
 import json, sys, time
 from pyspark.sql import SparkSession, functions as F
-sf_dir, copies = sys.argv[1], int(sys.argv[2])
+sf_dir, copies, mode = sys.argv[1], int(sys.argv[2]), sys.argv[4]
 spark = SparkSession.builder.getOrCreate()
 from my_ocr_spark.plans.flagship import synthesize_cc_docs
 from my_ocr_spark.operators.extract import extract_docs, latest_snapshot
@@ -69,29 +75,40 @@ corpus = (cc.withColumn("copy", F.explode(F.sequence(F.lit(0),
             .withColumn("url", F.concat("url", F.lit("?v="),
                                         F.col("copy").cast("string")))
             .drop("copy"))
-n_docs, n_bytes = corpus.select(
-    F.count("*"), F.sum(F.octet_length("html"))).collect()[0]
-# warm-up must touch EVERY partition (python worker pools spawn per
-# executor; a limit() slice would leave 4N-1 cold spawns in the timing)
-extract_docs(corpus.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)).count()
-t0 = time.perf_counter()
-assert extract_docs(corpus).count() == n_docs
-wall = time.perf_counter() - t0
-# one real shuffle across executor JVMs: latest-snapshot dedup on the
-# narrow columns (html is synthesized per row, so project it away first
-# to keep the shuffled payload the url/ts key data, not fat pages)
-narrow = corpus.select("url", "warc_ts", "lang",
-                       F.octet_length("html").alias("nb"))
-t1 = time.perf_counter()
-n_dedup = latest_snapshot(narrow).count()
-shuffle_wall = time.perf_counter() - t1
-print(json.dumps({"n_docs": int(n_docs), "mb": n_bytes / 1e6,
-                  "wall_sec": wall, "docs_per_sec": n_docs / wall,
-                  "mb_per_sec": n_bytes / 1e6 / wall,
-                  "shuffle_wall_sec": shuffle_wall,
-                  "shuffle_rows_per_sec": n_docs / shuffle_wall,
-                  "n_dedup": int(n_dedup),
-                  "executors": int(sys.argv[3])}), flush=True)
+out = {"executors": int(sys.argv[3])}
+if mode == "extract":
+    n_docs, n_bytes = corpus.select(
+        F.count("*"), F.sum(F.octet_length("html"))).collect()[0]
+    # warm-up must touch EVERY partition (python worker pools spawn per
+    # executor; a limit() slice would leave 4N-1 cold spawns in the timing)
+    extract_docs(corpus.filter(
+        F.pmod(F.xxhash64("url"), F.lit(50)) == 0)).count()
+    t0 = time.perf_counter()
+    assert extract_docs(corpus).count() == n_docs
+    wall = time.perf_counter() - t0
+    out.update({"n_docs": int(n_docs), "mb": n_bytes / 1e6,
+                "wall_sec": wall, "docs_per_sec": n_docs / wall,
+                "mb_per_sec": n_bytes / 1e6 / wall})
+else:
+    # one real shuffle across executor JVMs: latest-snapshot dedup on
+    # narrow columns (html consumed into octet_length, never shuffled).
+    # persist + materialize OUTSIDE the timed window — an unpersisted
+    # plan re-runs synthesis inside the timing (CLAUDE.md invariant 4).
+    narrow = corpus.select("url", "warc_ts", "lang",
+                           F.octet_length("html").alias("nb")).persist()
+    n_docs = narrow.count()
+    latest_snapshot(narrow.limit(1000)).count()  # JVM-path warm-up
+    walls = []
+    for _ in range(2):
+        t1 = time.perf_counter()
+        n_dedup = latest_snapshot(narrow).count()
+        walls.append(time.perf_counter() - t1)
+    shuffle_wall = min(walls)
+    out.update({"n_docs": int(n_docs),
+                "shuffle_wall_sec": shuffle_wall,
+                "shuffle_rows_per_sec": n_docs / shuffle_wall,
+                "n_dedup": int(n_dedup)})
+print(json.dumps(out), flush=True)
 try:
     spark.stop()
 except Exception:
@@ -209,52 +226,62 @@ class Cluster:
             time.sleep(0.5)
 
 
-def run_level(n_workers: int, sf_dir: str, copies: int,
-              zip_path: str, tmp: str, pin_cpus: bool = True) -> dict:
+def _submit(c: Cluster, n_workers: int, sf_dir: str, copies: int,
+            zip_path: str, tmp: str, mode: str) -> dict:
     job = os.path.join(tmp, "job.py")
     with open(job, "w") as f:
         f.write(_JOB)
-    with Cluster(n_workers, os.path.join(tmp, f"cluster{n_workers}"),
-                 pin_cpus=pin_cpus) as c:
-        p = subprocess.run(
-            [SPARK_SUBMIT, "--master", c.master_url,
-             "--conf", "spark.executor.cores=4",
-             "--conf", "spark.executor.memory=4g",
-             "--conf", f"spark.cores.max={4 * n_workers}",
-             "--conf", f"spark.sql.shuffle.partitions={4 * n_workers}",
-             "--conf", "spark.ui.enabled=false",
-             # Each executor JVM sizes GC/JIT/netty pools by VISIBLE host
-             # cores (32) — 8 such JVMs on one host oversubscribe 8x.
-             # ActiveProcessorCount=4 makes each executor size itself to
-             # its real share, exactly as it would on its own machine.
-             "--conf", "spark.executor.extraJavaOptions="
-                       "-XX:ActiveProcessorCount=4 "
-                       "-XX:ParallelGCThreads=4",
-             # match the tuned session defaults the local ladder gets via
-             # get_spark (the job builds a bare session so submit-time
-             # conf wins — session.py precedence note)
-             "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch="
-                       + os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
-             "--conf", "spark.sql.adaptive.enabled=true",
-             # the dedup-shuffle metric moves ~100 MB of narrow rows;
-             # default 64 MB advisory size would coalesce it to ~2
-             # post-shuffle partitions and serialize the window sort
-             # (measured: 12-34 s vs 4 s) — at real scale partitions
-             # are GBs and coalescing is right, here it hides scaling
-             "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
-             "--py-files", zip_path,
-             job, sf_dir, str(copies), str(n_workers)],
-            capture_output=True, text=True, timeout=1800, cwd=tmp,
-            env=_clean_env())
+    p = subprocess.run(
+        [SPARK_SUBMIT, "--master", c.master_url,
+         "--conf", "spark.executor.cores=4",
+         "--conf", "spark.executor.memory=4g",
+         "--conf", f"spark.cores.max={4 * n_workers}",
+         "--conf", f"spark.sql.shuffle.partitions={4 * n_workers}",
+         "--conf", "spark.ui.enabled=false",
+         # Each executor JVM sizes GC/JIT/netty pools by VISIBLE host
+         # cores (32) — 8 such JVMs on one host oversubscribe 8x.
+         # ActiveProcessorCount=4 makes each executor size itself to
+         # its real share, exactly as it would on its own machine.
+         "--conf", "spark.executor.extraJavaOptions="
+                   "-XX:ActiveProcessorCount=4 "
+                   "-XX:ParallelGCThreads=4",
+         # match the tuned session defaults the local ladder gets via
+         # get_spark (the job builds a bare session so submit-time
+         # conf wins — session.py precedence note)
+         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch="
+                   + os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
+         "--conf", "spark.sql.adaptive.enabled=true",
+         # the dedup-shuffle metric moves ~100 MB of narrow rows;
+         # default 64 MB advisory size would coalesce it to ~2
+         # post-shuffle partitions and serialize the window sort
+         # (measured: 12-34 s vs 4 s) — at real scale partitions
+         # are GBs and coalescing is right, here it hides scaling
+         "--conf", "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
+         "--py-files", zip_path,
+         job, sf_dir, str(copies), str(n_workers), mode],
+        capture_output=True, text=True, timeout=1800, cwd=tmp,
+        env=_clean_env())
     for line in reversed(p.stdout.strip().splitlines()):
         try:
             parsed = json.loads(line)
         except ValueError:
             continue
-        if isinstance(parsed, dict) and "wall_sec" in parsed:
+        if isinstance(parsed, dict) and ("wall_sec" in parsed
+                                         or "shuffle_wall_sec" in parsed):
             return parsed
-    raise RuntimeError(f"{n_workers} workers: no measurement "
+    raise RuntimeError(f"{n_workers} workers/{mode}: no measurement "
                        f"(rc={p.returncode}); stderr: {p.stderr[-2000:]}")
+
+
+def run_level(n_workers: int, sf_dir: str, copies: int,
+              zip_path: str, tmp: str, pin_cpus: bool = True) -> dict:
+    with Cluster(n_workers, os.path.join(tmp, f"cluster{n_workers}"),
+                 pin_cpus=pin_cpus) as c:
+        ext = _submit(c, n_workers, sf_dir, copies, zip_path, tmp,
+                      "extract")
+        sh = _submit(c, n_workers, sf_dir, copies, zip_path, tmp,
+                     "shuffle")
+    return {**ext, **{k: v for k, v in sh.items() if k != "n_docs"}}
 
 
 def main() -> None:
