@@ -22,6 +22,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from my_ocr_spark.kernel import textstats as ts
+from my_ocr_spark.session import spread_small_scan
 
 # portable normalization used on BOTH engines (same regex in oracle SQL)
 NORMALIZE_RE = "[^a-z0-9一-龥 ]"
@@ -73,6 +74,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     compare); the skew bound itself is pytest-checked with a synthetic
     1-shingle-in-1000-docs corpus.
     """
+    df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
     if n == 1:
         words = F.split(normalized_col(text_col), " ")
         sh = df.select(F.col(id_col).alias("doc"),
@@ -185,7 +187,9 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
                 "band_hash": bh.reshape(-1),
             })
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    src = spread_small_scan(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_text")))
     return src.mapInPandas(run, schema=_SIG_SCHEMA)
 
 
@@ -205,6 +209,20 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     distinct near-dups is unaffected on the fixtures (cap >> any fixture
     bucket, asserted in tests)."""
     rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, shingle_k)
+    # lazily cache the band rows (long+int+long per row — ~20 B): they
+    # feed the hot-bucket agg, the anti-join probe side, AND both sides
+    # of the self-join below. Without the cache the full-corpus
+    # signature pass (the expensive mapInPandas) appears FOUR times in
+    # the physical plan with zero exchange reuse (pruned copies differ,
+    # so ReuseExchange never fires) — measured at sf1.0: 14.9 s -> 8.4 s
+    # warm. Unlike ngram postings (persist_postings note above), these
+    # rows are scalar columns, so cache serialization is cheap.
+    # Measured at sf1.0: 14.9-19.7 s -> 5.8 s first call (and repeat
+    # calls hit Spark's plan-keyed cache at 1.5 s). At corpus scale the
+    # cached relation is ~20 B x bands per multi-KB document (<3% of
+    # corpus bytes, MEMORY_AND_DISK spills) vs FOUR signature passes
+    # over the full text — the same trade minhash_then_verify makes.
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     if bucket_cap is not None:
         hot = (rows.groupBy("band", "band_hash")
                    .agg(F.count("*").alias("n_"))
@@ -250,7 +268,9 @@ def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str,
                 hs.append(sorted(set(out)))
             yield pd.DataFrame({"doc": pdf["_id"], "hs": hs})
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    src = spread_small_scan(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_text")))
     return src.mapInPandas(run, schema=_HASHSET_SCHEMA)
 
 
@@ -310,7 +330,9 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 "simhash": [ts.simhash64(t or "") for t in pdf["_text"]],
             })
 
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    src = spread_small_scan(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(text_col).alias("_text")))
     return src.mapInPandas(run, schema=_SIMHASH_SCHEMA)
 
 
@@ -320,6 +342,11 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     hamming<=3 shares a band (pigeonhole); exact hamming verify after the
     band join. Classic Manku/Google simhash dedup layout."""
     sh = simhash_docs(df, id_col, text_col)
+    # two longs per doc, but the mapInPandas above runs simhash64 over
+    # every document's full text — and the self-join below otherwise
+    # executes that pass TWICE (pruned copies, no ReuseExchange; same
+    # recompute class as minhash_lsh_candidates, measured there 2.6x)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         "doc", "simhash",
         F.explode(F.array(*[
@@ -369,6 +396,9 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     hot-gram corpus. Cost: one shuffle on the gram hash, one on the
     (doc1, doc2, diagonal) span key.
     """
+    # gram hashing below is heavy JVM codegen per doc — as throttled by
+    # a 1-4-split small scan as a pandas stage would be
+    df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
     w_words = F.split(normalized_col(text_col), " ")
     d = (df.select(F.col(id_col).alias("doc_id"),
                    w_words.alias("words"))

@@ -66,6 +66,27 @@ def get_spark(app_name: str = "my_ocr_spark",
     return b.getOrCreate()
 
 
+def spread_small_scan(df, min_parallelism: int | None = None):
+    """Cost-modeled small-input adaptation for python-heavy stages.
+
+    A small parquet table scans as 1-4 input splits (file bytes /
+    ``spark.sql.files.maxPartitionBytes``), so a per-document pandas
+    stage downstream runs on 1-4 of the session's cores — measured:
+    the sf1.0 documents table (2 splits) ran every dedup signature pass
+    at 2/32 parallelism. Repartition ONLY when the scan is narrower
+    than the session parallelism: at corpus scale (splits >> cores)
+    this is a no-op, so the fat text column never pays a shuffle where
+    the scan is already wide — the same broadcast-threshold-style cost
+    model as operators/graph.py's driver path (CLAUDE.md invariant 4).
+    Reading the partition count converts the plan driver-side only (no
+    job)."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def bucket_count(spark: SparkSession, per_slot: int = 4,
                  floor: int = 64) -> int:
     """Bucket fan-out for grouped-map operators (cogrouped matchers,

@@ -339,3 +339,20 @@ def test_remove_duplicate_spans_deletes_higher_id_copy(spark):
     import hashlib
     assert out[2].kept_md5 == hashlib.md5(
         b"tail words here").hexdigest()
+
+
+def test_spread_small_scan_cost_model(spark):
+    """The small-input adaptation must be a NO-OP on already-wide inputs
+    (at corpus scale a parquet table has splits >> cores, and the fat
+    text column must not pay a shuffle there) and must widen a 1-split
+    scan to session parallelism so per-doc python stages use every core
+    (measured at sf1.0: the 2-split documents scan ran every dedup
+    signature pass at 2/32 parallelism — simhash 37.6 s -> 1.2 s)."""
+    from my_ocr_spark.session import spread_small_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, numPartitions=1)
+    wide = spark.range(0, 1000, 1, numPartitions=target + 7)
+    assert spread_small_scan(narrow).rdd.getNumPartitions() == target
+    # identity (not just same count): no exchange inserted at scale
+    assert spread_small_scan(wide) is wide
