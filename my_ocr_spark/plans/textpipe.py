@@ -533,7 +533,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fps.append(fp)
             yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
 
-    return (t(spark, sf_dir, "documents").select("doc_id", "text")
+    from my_ocr_spark.session import spread_small_scan
+    # per-doc rolling-hash python pass: widen a 1-split scan first
+    # (cost-modeled no-op at corpus scale; sf1.0: 12.5 s -> ~1.5 s)
+    return (spread_small_scan(t(spark, sf_dir, "documents")
+                              .select("doc_id", "text"))
             .mapInPandas(run, schema=sch))
 
 
@@ -1165,6 +1169,11 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dot, cell_cosine_edges, ivf_assign, train_centroids_kmeans,
     )
 
+    # NOT spread_small_scan'd: A/B at both SFs (warm, same session)
+    # read base-spread SLOWER — sf0.1 3.8 vs 2.0 s, sf1.0 8.4 vs 6.2 s.
+    # The eager 32-partition checkpoint write costs more than the wide
+    # scan buys; the pipeline's real cost is the grouped verify + CC,
+    # both already shuffle-parallel.
     base = (t(spark, sf_dir, "embeddings")
             .select("vec_id",
                     F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
