@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 from my_ocr_spark.plans.registry import query, t
+from my_ocr_spark.session import spread_small_scan
 from my_ocr_spark.plans.relational import _GT_SQL, _PRED_SQL, _gt_pred
 
 
@@ -883,7 +884,7 @@ def min_area_rect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "short_side": np.round(short, 4),
                 "long_side": np.round(long_, 4)})
 
-    return o.mapInPandas(run, schema=_MAR_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_MAR_OUT)
 
 
 _WARP_OUT = T.StructType([
@@ -960,7 +961,7 @@ def warp_crop_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tl_px": cls.map(lambda c: table[c][1]),
                 "br_px": cls.map(lambda c: table[c][2])})
 
-    return o.mapInPandas(run, schema=_WARP_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_WARP_OUT)
 
 
 _SV_OUT = T.StructType([
@@ -1065,7 +1066,7 @@ def sort_vertex_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{round(x, 4)}:{round(y, 4)}" for x, y in srt))
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_SV_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_SV_OUT)
 
 
 # --- TPS rectification (tps_preprocessor.py grid generator) -----------------
@@ -1174,7 +1175,7 @@ def tps_warp_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["br_px"].append(round(float(w[3, 7]), 6))
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_TPS_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_TPS_OUT)
 
 
 # --- EastRandomCrop region finding (deterministic core) ---------------------
@@ -1368,7 +1369,7 @@ def fourier_descriptor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + [r4(float(x)) for p in rec for x in p])
             yield pd.DataFrame(recs, columns=cols)
 
-    return o.mapInPandas(run, schema=_FOURIER_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_FOURIER_OUT)
 
 
 # --- fill_hole mask morphology (textsnake/fcenet decode pixel path) ---------
@@ -1462,7 +1463,7 @@ def fill_holes_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["fill_checksum"].append(int(wgt[f].sum()))
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_FILL_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_FILL_OUT)
 
 
 # --- Zhang-Suen skeletonize (textsnake decode center-line path) -------------
@@ -1615,7 +1616,7 @@ def skeletonize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["skel_checksum"].append(int(wgt[s].sum()))
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_SKEL_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_SKEL_OUT)
 
 
 # --- textsnake center-mask decode: fill -> instances -> skeletons -----------
@@ -1757,7 +1758,7 @@ def textsnake_center_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["skel_checksum"].append(int(wgt[sk & sel].sum()))
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_TS_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_TS_OUT)
 
 
 # --- textsnake centralize (normal marching, wrapper.py:245-272) -------------
@@ -1868,7 +1869,7 @@ def centralize_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["center_x"].append(center if axis == "x" else 8)
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_CEN_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_CEN_OUT)
 
 
 # --- DBNet bitmap decode: binarize -> trace -> unclip -> minAreaRect --------
@@ -2114,4 +2115,4 @@ def db_decode_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out[name].append(v)
             yield pd.DataFrame(out)
 
-    return o.mapInPandas(run, schema=_DBD_OUT)
+    return spread_small_scan(o).mapInPandas(run, schema=_DBD_OUT)

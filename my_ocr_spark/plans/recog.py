@@ -492,7 +492,11 @@ def ctc_topk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected timestep. Shares are rational (int / int in DOUBLE) rather
     than softmax — argsort-equivalent and bit-identical cross-engine.
     Kernel twin: codec.ctc_topk_select (parity-tested)."""
-    o = t(spark, sf_dir, "orders")
+    from my_ocr_spark.session import spread_small_scan
+
+    # the per-row HOF transform pipeline below is heavy codegen; widen
+    # the 1-split orders scan first (cost-modeled no-op at scale)
+    o = spread_small_scan(t(spark, sf_dir, "orders").select("o_orderkey"))
     s = o.select(
         F.col("o_orderkey").alias("seq_id"),
         ((F.col("o_orderkey") % 4 + 1) * 2).cast("int").alias("dlen"))
