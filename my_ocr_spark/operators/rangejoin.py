@@ -57,8 +57,19 @@ def band_overlap_join(
 
     lb = bucketed(left, start, end, "_bkt")
     rb = bucketed(r, s_r, e_r, "_bkt_r")
-    j = lb.join(rb, (F.col(group) == F.col(g_r))
-                & (F.col("_bkt") == F.col("_bkt_r")))
+    # Shuffled-hash, not sort-merge: the (group, bucket) key is
+    # deliberately low-cardinality-per-cell but HIGH-fanout (each cell
+    # emits |A_c|x|B_c| pairs), and SMJ's pair generation iterates the
+    # buffered match group through its spillable sorter row-by-row —
+    # measured 25.6 s vs 3.2 s (8x) for the 325M-pair sf1.0 fixture.
+    # A per-partition hash table stays cache-resident (a broadcast of
+    # the full left side measured as slow as SMJ: one 2.6M-entry shared
+    # relation thrashes, 32 ~80k-entry partition tables do not). Build
+    # side is ``left`` — callers pass the smaller relation first; the
+    # per-partition build memory is |left| / shuffle_partitions rows,
+    # the same scale knob every shuffle here already depends on.
+    j = lb.hint("SHUFFLE_HASH").join(rb, (F.col(group) == F.col(g_r))
+                                     & (F.col("_bkt") == F.col("_bkt_r")))
     overlap = F.least(F.col(end), F.col(e_r)) > F.greatest(F.col(start),
                                                            F.col(s_r))
     once = (F.col("_bkt")
