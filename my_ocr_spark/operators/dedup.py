@@ -54,7 +54,7 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 1, threshold: float = 0.5,
                         df_cap: int | None = 64,
-                        persist_postings: bool = False) -> DataFrame:
+                        persist_postings: bool = True) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs via inverted-index self-join.
 
     Stages: distinct shingles per doc (narrow) → document-frequency cap →
@@ -116,12 +116,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # Spark's ReuseExchange does NOT fire (verified) and the shingle
     # generation re-runs per consumer. ``persist_postings`` is the
     # materialization point for that: lazy (the query contract stays
-    # action-free), disk-backed, LRU-evicted. A/B at sf0.1 (fresh JVMs):
-    # persist LOSES — 10.6 s vs 7.7 s cold — because cache serialization
-    # of the docs arrays costs more than recomputing the narrow gen; at
-    # corpus scale the tradeoff flips (3 full-corpus parse scans vs one
-    # disk-backed postings table), so the flag defaults off and a 100 TB
-    # caller turns it on.
+    # action-free), disk-backed, LRU-evicted. A/B history: at sf0.1
+    # (fresh JVMs, single cold run) persist LOST — 10.6 s vs 7.7 s —
+    # because cache serialization of the docs arrays costs more than
+    # recomputing the narrow gen; at sf1.0 the tradeoff FLIPS as the
+    # original note predicted (same-session A/B, best-of-2 fresh plans:
+    # 3.7-5.8 s unpersisted vs 2.1-2.6 s persisted — three full
+    # shingle-gen passes vs one disk-backed postings table), so the
+    # flag now defaults ON; persisting the pre-agg shingle rows too was
+    # within noise of postings-only and pins twice the memory. Callers
+    # processing many corpora in one session should unpersist via
+    # spark.catalog.clearCache between corpora (same note as the LSH
+    # band-row cache below).
     postings = (sh.groupBy("shingle")
                   .agg(F.count("*").alias("df_"),
                        F.sort_array(F.collect_list("doc")).alias("docs")))
@@ -396,21 +402,50 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     hot-gram corpus. Cost: one shuffle on the gram hash, one on the
     (doc1, doc2, diagonal) span key.
     """
-    # gram hashing below is heavy JVM codegen per doc — as throttled by
-    # a 1-4-split small scan as a pandas stage would be
+    # gram hashing in an Arrow-batched pandas stage over the kernel
+    # normalizer (the exact oracle twin, same path ngram shingles use).
+    # The previous JVM form — posexplode(transform(sequence(...),
+    # i -> md5(array_join(slice(words, i, W), ' ')))) — runs the lambda
+    # INTERPRETED (higher-order functions are outside whole-stage
+    # codegen, CLAUDE.md invariant 5) and allocates a slice array per
+    # gram: measured 3.2 s of the query's 4.2 s at sf1.0 (2.5M grams,
+    # ~25k grams/s/core). The Python loop + hashlib.md5 does the same
+    # work in ~0.5 s. The key is the raw 16-byte md5 digest — injective
+    # with the oracle's md5-hex string, so grouping/join behavior is
+    # identical (verified hash-exact at sf0.01/0.1/1.0) and the shuffle
+    # key is half the bytes of the hex form.
+    import hashlib
+
     df = spread_small_scan(df.select(F.col(id_col), F.col(text_col)))
-    w_words = F.split(normalized_col(text_col), " ")
-    d = (df.select(F.col(id_col).alias("doc_id"),
-                   w_words.alias("words"))
-           .filter(F.size("words") >= gram_width))
-    g = d.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(1, size(words) - {gram_width - 1}),"
-            f" i -> md5(array_join(slice(words, i, {gram_width}), ' ')))"))
-         .alias("pos0", "gh"))
-    h = g.select("doc_id",
-                 (F.col("pos0") + 1).cast("bigint").alias("pos"), "gh")
+    gram_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("gh", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        norm = ts.normalize_for_fingerprint
+        join = " ".join
+        for pdf in batches:
+            ids, poss, ghs = [], [], []
+            for doc, text in zip(pdf["_id"], pdf["_text"]):
+                words = norm(text or "").split()
+                n = len(words)
+                # JVM split("") yields [''] (size 1 < gram_width): both
+                # forms drop docs shorter than gram_width words
+                if n < gram_width:
+                    continue
+                for i in range(n - gram_width + 1):
+                    ids.append(doc)
+                    poss.append(i + 1)
+                    ghs.append(md5(
+                        join(words[i:i + gram_width]).encode()).digest())
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "gh": ghs})
+
+    h = (df.select(F.col(id_col).alias("_id"),
+                   F.col(text_col).alias("_text"))
+           .mapInPandas(gen, schema=gram_schema))
     # no sort: the postings list is exploded immediately and every
     # downstream agg / the driver compare is order-insensitive
     post = (h.groupBy("gh")
