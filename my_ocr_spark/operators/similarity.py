@@ -136,17 +136,43 @@ def cell_cosine_edges(nv: DataFrame, threshold: float,
         mat = np.stack([np.asarray(v, dtype=np.float64)
                         for v in pdf[vec_col]])
         nrm = pdf[norm_col].to_numpy()
-        acc = np.zeros((n, n))
-        for d in range(mat.shape[1]):
-            col = mat[:, d]
-            # in-place += performs the SAME IEEE additions in the same
-            # order (bit-exactness unchanged) without allocating a
-            # transient n*n matrix per dimension
-            acc += col[:, None] * col[None, :]
-        cos = acc / (nrm[:, None] * nrm[None, :])
-        iu, ju = np.triu_indices(n, 1)
-        keep = cos[iu, ju] >= threshold
-        return pd.DataFrame({"src": ids[iu[keep]], "dst": ids[ju[keep]]})
+        # Row-blocked upper triangle, d-major accumulation. For every
+        # pair the additions are the SAME IEEE ops in the SAME order as
+        # the _dot fold (multiply into a preallocated buffer, add into
+        # the accumulator, d sequential — no FMA, no reassociation), so
+        # bit-exactness is preserved by construction; blocking only
+        # restricts which (i, j) rectangles are materialized. vs the
+        # previous full-n² rank-1 form: ~half the flops (j >= block
+        # start only) and no 64 transient n² allocations — measured
+        # 2.4 s -> 1.3 s for the sf1.0 16-cell verify. (A BLAS matmul
+        # measured bit-identical here but its k-loop order/FMA use is
+        # an implementation detail of the local BLAS — rejected to keep
+        # cross-engine parity provable, not empirical.)
+        D = mat.shape[1]
+        B = 512
+        tmp = np.empty((min(B, n), n))
+        srcs, dsts = [], []
+        for b0 in range(0, n - 1, B):
+            b1 = min(b0 + B, n)
+            nb = b1 - b0
+            sub = mat[b0:b1]
+            rest = mat[b0:]
+            acc = np.zeros((nb, n - b0))
+            t = tmp[:nb, :n - b0]
+            for d in range(D):
+                np.multiply(sub[:, d][:, None], rest[:, d][None, :],
+                            out=t)
+                np.add(acc, t, out=acc)
+            cos = acc / (nrm[b0:b1][:, None] * nrm[b0:][None, :])
+            iu, ju = np.nonzero(cos >= threshold)
+            keep = ju > iu  # strict upper triangle in global indexing
+            srcs.append(ids[b0 + iu[keep]])
+            dsts.append(ids[b0 + ju[keep]])
+        return pd.DataFrame({
+            "src": np.concatenate(srcs) if srcs else
+            np.array([], dtype=np.int64),
+            "dst": np.concatenate(dsts) if dsts else
+            np.array([], dtype=np.int64)})
 
     return (nv.select(bucket_col, id_col, vec_col, norm_col)
             .groupBy(bucket_col).applyInPandas(run,
