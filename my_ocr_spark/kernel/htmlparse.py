@@ -86,6 +86,24 @@ _PUNCT_STR = ".,;:!?"
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 _NAVISH = frozenset({"nav", "header", "footer", "aside"})
 
+# Per-tag property bits, so each tag event pays ONE dict lookup instead
+# of up to six frozenset/tuple membership probes (the handlers run ~65
+# times per document — profiled at 26% of kernel wall). Pure lookup
+# refactor: the bit sets are built from the same frozensets above, so
+# classification semantics cannot drift.
+_F_VOID, _F_SKIP, _F_BLOCK, _F_NAV, _F_A, _F_TITLE = 1, 2, 4, 8, 16, 32
+_TAG_FLAGS: dict[str, int] = {}
+for _t in _VOID:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_VOID
+for _t in _SKIP_SUBTREE:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in _BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in _NAVISH:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_NAV
+_TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | _F_A
+_TAG_FLAGS["title"] = _TAG_FLAGS.get("title", 0) | _F_TITLE
+
 
 def _normalize_ws(parts) -> str:
     return " ".join("".join(parts).split())
@@ -134,24 +152,27 @@ class _BlockParser(HTMLParser):
 
     # -- tag events ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        if tag in _VOID:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
             if tag == "br" and self._stack and not self._skip_depth:
                 self._stack[-1].parts.append(" ")
             return
-        if tag in _SKIP_SUBTREE:
+        if f & _F_SKIP:
             self._skip_depth += 1
             self._tagstack.append(tag)
             self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
             return
         self._tagstack.append(tag)
         self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
-        if tag == "title":
+        if not f:
+            return  # non-block, non-special tag (span, b, em, ...)
+        if f & _F_TITLE:
             self._in_title = True
-        if tag == "a":
+        if f & _F_A:
             self._link_depth += 1
-        if tag in ("nav", "header", "footer", "aside"):
+        if f & _F_NAV:
             self._nav_depth += 1
-        if tag in _BLOCK_TAGS:
+        if f & _F_BLOCK:
             # opening a nested block: flush nothing yet; text accumulated in
             # the parent before this point stays with the parent.
             if not self._bpaths:
@@ -166,20 +187,21 @@ class _BlockParser(HTMLParser):
                                           in_nav=self._nav_depth > 0))
 
     def handle_endtag(self, tag):
-        if tag in _VOID:
+        f = _TAG_FLAGS.get(tag, 0)
+        if f & _F_VOID:
             return
-        if tag in _SKIP_SUBTREE:
+        if f & _F_SKIP:
             if self._skip_depth > 0:
                 self._skip_depth -= 1
             if self._tagstack and self._tagstack[-1] == tag:
                 self._tagstack.pop()
                 self._open_counts[tag] -= 1
             return
-        if tag == "title":
+        if f & _F_TITLE:
             self._in_title = False
-        if tag == "a" and self._link_depth > 0:
+        if f & _F_A and self._link_depth > 0:
             self._link_depth -= 1
-        if tag in ("nav", "header", "footer", "aside") and self._nav_depth > 0:
+        if f & _F_NAV and self._nav_depth > 0:
             self._nav_depth -= 1
         # pop tagstack down to the matching open tag (tolerate misnesting);
         # membership via open-tag counter, not an O(depth) list scan
@@ -191,7 +213,7 @@ class _BlockParser(HTMLParser):
                     self._bpaths.pop()
                 if t == tag:
                     break
-        if tag in _BLOCK_TAGS:
+        if f & _F_BLOCK:
             stack = self._stack
             if stack and stack[-1].tag == tag:
                 # well-nested fast path (the overwhelmingly common case)
