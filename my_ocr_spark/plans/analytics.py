@@ -1037,11 +1037,8 @@ def _mix_report(spark: SparkSession, sf_dir: str,
                 plant: bool) -> DataFrame:
     """Shared DAG of curation_mix_report (clean corpus) and its _demo
     twin (gopher_plant fixture so every gate visibly fires)."""
-    from my_ocr_spark.operators.dedup import normalized_col
     from my_ocr_spark.plans.flagship import flagship_extract
-    from my_ocr_spark.plans.textpipe import (
-        gopher_counts, gopher_plant, sqrt_mix_share,
-    )
+    from my_ocr_spark.plans.textpipe import gopher_counts, sqrt_mix_share
 
     ext = (flagship_extract(spark, sf_dir)
            .select("url", "text").filter(F.length("text") > 0))
@@ -1053,18 +1050,17 @@ def _mix_report(spark: SparkSession, sf_dir: str,
         F.regexp_extract("url", r"^https://([^.]+)\.example", 1)
          .alias("source"),
         F.length("text").alias("n_chars"),
-        F.split(normalized_col("text"), " ").alias("w0"))
+        "text")
     d0 = d0.filter(F.col("doc_id").isNotNull())
     # materialize ONCE here: d0 feeds both gopher_counts and the join's
     # source/n_chars branch — without this the dominant Python
-    # extraction stage upstream would execute twice per action.
-    # gopher_counts skips its own checkpoint (materialize=False): its
-    # input is a cheap plant over this scan, and a second checkpoint
-    # would pin a duplicate copy of the word arrays
+    # extraction stage upstream would execute twice per action. The
+    # checkpoint carries the extracted text (gopher_counts normalizes
+    # and splits inside its own narrow stage now — the old form pinned
+    # the heavier word ARRAYS here); the plant is gopher_counts's own
+    # Python twin of _GOPHER_PLANT_SQL
     d0 = d0.localCheckpoint(eager=True)
-    words = (gopher_plant(d0.select("doc_id", "w0")) if plant
-             else d0.select("doc_id", F.col("w0").alias("w")))
-    g = gopher_counts(words, materialize=False)
+    g = gopher_counts(d0.select("doc_id", "text"), plant=plant)
     j = (d0.select("doc_id", "source", "n_chars")
          .join(g.select("doc_id", "keep"), "doc_id"))
     rep = (j.groupBy("source")

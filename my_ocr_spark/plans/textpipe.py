@@ -1344,76 +1344,80 @@ def _gopher_oracle(plant: bool) -> str:
     """
 
 
-def gopher_plant(d: DataFrame) -> DataFrame:
-    """(doc_id, w0) -> (doc_id, w): plant the deterministic boilerplate
-    (first 5 words repeated 8x in every 17th doc) — the SQL twin is
-    _GOPHER_PLANT_SQL."""
-    return d.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 17 == 0,
-               F.concat("w0", F.flatten(F.array_repeat(
-                   F.slice("w0", 1, 5), 8))))
-         .otherwise(F.col("w0")).alias("w"))
+_GOPHER_SCHEMA = ("doc_id bigint, n_words bigint, top_word_n bigint, "
+                  "n_bigrams bigint, top_bigram_n bigint, n_5grams bigint, "
+                  "n_dup_5gram_pos bigint, keep boolean")
 
 
-def gopher_counts(d: DataFrame, materialize: bool = True) -> DataFrame:
-    """Per-doc Gopher repetition counts + keep gate over (doc_id, w).
+def gopher_counts(d: DataFrame, plant: bool = False) -> DataFrame:
+    """Per-doc Gopher repetition counts + keep gate over (doc_id, text).
 
-    Materializes the word table once by default: uni/bi/five are join
-    children and Spark does no CSE across them, so without truncation
-    the caller's whole word derivation would run 3x (the SemDeDup
-    multi-consumer rationale). A caller whose input is ALREADY a cheap
-    scan (e.g. derived from its own checkpoint, like
-    curation_mix_report) passes ``materialize=False`` to avoid pinning
-    a second copy of the word arrays. Gram synthesis is O(words) per
-    doc via element_at (never array_join(slice(...)) — no CSE through
-    HOF lambdas)."""
-    if materialize:
-        d = d.localCheckpoint(eager=True)
-    uni = (d.select("doc_id", F.size("w").alias("n_words"),
-                    F.explode("w").alias("g"))
-           .groupBy("doc_id", "n_words", "g").count()
-           .groupBy("doc_id", "n_words")
-           .agg(F.max("count").alias("top_word_n")))
-    bi = (d.filter(F.size("w") >= 2)
-          .select("doc_id", F.explode(F.expr(
-              "transform(sequence(1, size(w) - 1),"
-              " i -> concat(element_at(w, i), ' ',"
-              " element_at(w, i + 1)))")).alias("g"))
-          .groupBy("doc_id", "g").count()
-          .groupBy("doc_id")
-          .agg(F.sum("count").alias("n_bigrams"),
-               F.max("count").alias("top_bigram_n")))
-    five = (d.filter(F.size("w") >= 5)
-            .select("doc_id", F.explode(F.expr(
-                "transform(sequence(1, size(w) - 4),"
-                " i -> md5(concat(element_at(w, i), ' ',"
-                " element_at(w, i + 1), ' ', element_at(w, i + 2), ' ',"
-                " element_at(w, i + 3), ' ', element_at(w, i + 4))))"))
-                .alias("g"))
-            .groupBy("doc_id", "g").count()
-            .groupBy("doc_id")
-            .agg(F.sum("count").alias("n_5grams"),
-                 F.sum(F.when(F.col("count") > 1, F.col("count"))
-                       .otherwise(0)).alias("n_dup_5gram_pos")))
-    out = (uni.join(bi, "doc_id", "left").join(five, "doc_id", "left"))
-    nb = F.coalesce("n_bigrams", F.lit(0))
-    tb = F.coalesce("top_bigram_n", F.lit(0))
-    n5 = F.coalesce("n_5grams", F.lit(0))
-    d5 = F.coalesce("n_dup_5gram_pos", F.lit(0))
-    # docs without bigrams/5-grams pass vacuously: 0 <= 0
-    keep = ((F.col("top_word_n") * 100 <= 30 * F.col("n_words"))
-            & (tb * 100 <= 20 * nb)
-            & (d5 * 100 <= 30 * n5))
-    return out.select(
-        "doc_id",
-        F.col("n_words").cast("bigint").alias("n_words"),
-        F.col("top_word_n").cast("bigint").alias("top_word_n"),
-        nb.cast("bigint").alias("n_bigrams"),
-        tb.cast("bigint").alias("top_bigram_n"),
-        n5.cast("bigint").alias("n_5grams"),
-        d5.cast("bigint").alias("n_dup_5gram_pos"),
-        keep.alias("keep"))
+    Every output is a function of ONE document's normalized word
+    stream, so the whole operator — normalization, split, the _demo
+    plant, and the gram counts — is a single narrow Arrow-batched
+    stage with per-doc Counters: no shuffle at all. The pre-r7 form
+    derived word ARRAYS in JVM (two regexp_replace passes measured
+    1.7 s alone at sf1.0 — 3x the Python re cost), exploded them into
+    ~3x gram rows through interpreted HOF lambdas (element_at concats,
+    md5 — no codegen, no CSE), ran six aggregations and two joins, and
+    needed a localCheckpoint so the word derivation wouldn't execute
+    three times; 2.0 s vs 0.6 s at sf1.0 for the same integer counts.
+
+    Parity: the kernel normalizer is the oracle-proven twin of
+    normalized_col (same path ngram/minhash/span queries use);
+    ``split(" ")`` with an explicit separator replicates JVM
+    split-on-' ' exactly (empty normalized text -> [''], n_words=1,
+    same as the oracle's string_split). Bigrams/5-grams count by WORD
+    TUPLE, which for space-free words is exactly the old concat/md5
+    grouping (md5 only ever proxied the gram string). Re-verified
+    hash-exact at sf0.01/0.1/1.0. ``plant`` applies the _demo fixture
+    (first 5 words repeated 8x in every 17th doc — the Python twin of
+    _GOPHER_PLANT_SQL). The keep gate stays pure integer math; docs
+    without bigrams/5-grams pass vacuously (0 <= 0)."""
+    from collections import Counter
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from my_ocr_spark.kernel.textstats import normalize_for_fingerprint
+    from my_ocr_spark.session import spread_small_scan
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_words", "top_word_n",
+                                   "n_bigrams", "top_bigram_n",
+                                   "n_5grams", "n_dup_5gram_pos", "keep")}
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                wl = normalize_for_fingerprint(text or "").split(" ")
+                if plant and doc % 17 == 0:
+                    wl = wl + wl[:5] * 8
+                n = len(wl)
+                top_word = max(Counter(wl).values())
+                if n >= 2:
+                    n_bi = n - 1
+                    top_bi = max(Counter(zip(wl, wl[1:])).values())
+                else:
+                    n_bi = top_bi = 0
+                if n >= 5:
+                    n5 = n - 4
+                    c5 = Counter(zip(wl, wl[1:], wl[2:], wl[3:], wl[4:]))
+                    d5 = sum(v for v in c5.values() if v > 1)
+                else:
+                    n5 = d5 = 0
+                out["doc_id"].append(doc)
+                out["n_words"].append(n)
+                out["top_word_n"].append(top_word)
+                out["n_bigrams"].append(n_bi)
+                out["top_bigram_n"].append(top_bi)
+                out["n_5grams"].append(n5)
+                out["n_dup_5gram_pos"].append(d5)
+                out["keep"].append(top_word * 100 <= 30 * n
+                                   and top_bi * 100 <= 20 * n_bi
+                                   and d5 * 100 <= 30 * n5)
+            yield pd.DataFrame(out)
+
+    return (spread_small_scan(d.select("doc_id", "text"))
+            .mapInPandas(run, schema=_GOPHER_SCHEMA))
 
 
 @query("gopher_repetition_filters", oracle=_gopher_oracle(plant=False))
@@ -1424,31 +1428,30 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (<=0.20), duplicate-5-gram position fraction (<=0.30 — the
     word-level analog of the duplicate-n-gram character fraction).
     Counts emitted as exact integers, the keep gate as pure integer
-    comparisons — zero float rounding cross-engine. Plan: three
-    combiner-friendly (doc, gram)->doc aggregations joined on doc_id
-    (see gopher_counts). This registered query runs the CLEAN operator
-    on the unmodified corpus; gopher_filters_demo plants deterministic
-    boilerplate so every gate demonstrably fires."""
+    comparisons — zero float rounding cross-engine. Plan: one narrow
+    per-doc Counter stage (see gopher_counts). This registered query
+    runs the CLEAN operator on the unmodified corpus;
+    gopher_filters_demo plants deterministic boilerplate so every gate
+    demonstrably fires."""
     d0 = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-          .select("doc_id",
-                  F.split(normalized_col("text"), " ").alias("w")))
+          .select("doc_id", "text"))
     return gopher_counts(d0)
 
 
 @query("gopher_filters_demo", oracle=_gopher_oracle(plant=True))
 def gopher_filters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gopher_repetition_filters over a DEMONSTRATION corpus: the
-    fixture layer (gopher_plant) repeats each 17th doc's first 5 words
-    8x before the gates run, so the top-word, top-bigram AND
-    duplicate-5-gram rules all provably fire and the oracle compare
-    exercises every branch (the clean synthetic corpus alone is too
-    uniform to trip the n-gram gates). The corpus mutation is fixture,
-    not operator semantics — the registered clean twin is
+    fixture layer (``plant=True``, the Python twin of
+    _GOPHER_PLANT_SQL) repeats each 17th doc's first 5 words 8x before
+    the gates run, so the top-word, top-bigram AND duplicate-5-gram
+    rules all provably fire and the oracle compare exercises every
+    branch (the clean synthetic corpus alone is too uniform to trip
+    the n-gram gates). The corpus mutation is fixture, not operator
+    semantics — the registered clean twin is
     gopher_repetition_filters."""
     d0 = (t(spark, sf_dir, "documents").filter(F.length("text") > 0)
-          .select("doc_id",
-                  F.split(normalized_col("text"), " ").alias("w0")))
-    return gopher_counts(gopher_plant(d0))
+          .select("doc_id", "text"))
+    return gopher_counts(d0, plant=True)
 
 
 

@@ -222,14 +222,21 @@ def test_pixel_kernel_queries_are_narrow(spark, sf_dir):
         assert plan.count("MapInPandas") == 1, (q.__name__, plan)
 
 
-def test_gopher_filters_single_normalize_pass(spark, sf_dir):
-    """gopher_repetition_filters materializes the normalized word table
-    once (localCheckpoint): the executed plan must scan the checkpoint,
-    not re-run the documents scan + regex per aggregation branch."""
+def test_gopher_filters_single_narrow_pass(spark, sf_dir):
+    """gopher_counts is per-doc math: the plan must be ONE narrow
+    Arrow-batched stage over the scan — no gram explode, no join, no
+    aggregation exchange (the pre-r7 form exploded ~3x gram rows
+    through interpreted HOFs, 6 aggregations and 2 joins, and needed a
+    checkpoint to avoid re-running the word derivation 3x). The only
+    allowed exchange is spread_small_scan's round-robin widen of a
+    small fixture."""
     from my_ocr_spark.plans.textpipe import gopher_repetition_filters
     plan = _physical_plan(gopher_repetition_filters(spark, sf_dir))
-    assert "Scan ExistingRDD" in plan, plan        # the checkpoint
-    assert plan.count("Scan parquet") == 0, plan   # no re-read per branch
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
+    n_ex = plan.count("Exchange")
+    assert n_ex == plan.count("Exchange RoundRobinPartitioning"), plan
+    assert n_ex <= 1, plan
 
 
 def test_curation_mix_report_single_extraction(spark, sf_dir):
