@@ -35,6 +35,16 @@ def get_spark(app_name: str = "my_ocr_spark",
         # engine's answer to host-level skew (SURVEY.md §4 item 1).
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # The coalescer merges post-shuffle partitions below
+        # minPartitionSize (default 1 MB) — sized by COMPRESSED shuffle
+        # bytes. A fat-column shuffle feeding a CPU-bound Python stage
+        # compresses to ~0.6 MB/partition here, so the default floor
+        # halved extraction parallelism (flagship 2.2 s vs 1.2-1.7 s,
+        # pdf_reading_order 1.75 s vs 1.1-1.6 s, A/B'd both directions).
+        # 64k keeps coalescing for genuinely tiny partitions while never
+        # binding at corpus scale, where partitions are 100s of MB.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for pandas UDFs. Batch ROWS is the only knob Spark offers,
         # but the real constraint is BYTES/batch: pick rows ≈ target_bytes
