@@ -161,7 +161,13 @@ def feed_events(parser, text: str) -> None:
     tol = None  # stdlib shim, built lazily on first gnarly construct
     token_match = _TOKEN_RE.match
     handle_data = parser.handle_data
+    handle_starttag = parser.handle_starttag
+    handle_endtag = parser.handle_endtag
     entity_search = _HAS_ENTITY.search
+    # numeric group ids (resolved once from the pattern) — named
+    # m.group('x') pays a dict lookup per token on the hot path
+    gi = _TOKEN_RE.groupindex
+    G_START, G_SELF, G_END = gi["starttag"], gi["selfclose"], gi["endtag"]
     while pos < n:
         m = token_match(text, pos)
         if m is None:
@@ -180,14 +186,14 @@ def feed_events(parser, text: str) -> None:
                 data = unescape(data)
             handle_data(data)
         elif kind == "selfclose":  # a start tag (see docstring)
-            tag = m.group("starttag").lower()
-            parser.handle_starttag(tag, ())
-            if m.group("selfclose"):
-                parser.handle_endtag(tag)
+            tag = m.group(G_START).lower()
+            handle_starttag(tag, ())
+            if m.group(G_SELF):
+                handle_endtag(tag)
             elif tag in _RAWTEXT:
                 pos = _consume_rawtext(parser, text, pos, tag)
         elif kind == "endtag":
-            parser.handle_endtag(m.group("endtag").lower())
+            handle_endtag(m.group(G_END).lower())
         elif kind == "comment":
             cm = _COMMENT_CLOSE.search(text, pos)
             # unterminated → swallow to EOF (documented divergence #1)

@@ -136,19 +136,15 @@ class _BlockParser(HTMLParser):
             return
         text = " ".join(words)
         link_text = _normalize_ws(ob.link_parts) if ob.link_parts else ""
+        # positional dataclass call (field order = class order): the
+        # kwargs form paid a per-flush keyword-binding cost on the
+        # hottest allocation in the parser
         self.blocks.append(Block(
-            block_id=ob.first_pos,  # temporary: re-numbered in doc order
-            tag=ob.tag,
-            tag_path=ob.tag_path,
-            depth=ob.depth,
-            text=text,
-            n_chars=len(text),
-            n_link_chars=len(link_text),
-            n_words=len(words),
-            n_punct=sum(map(text.count, _PUNCT_STR)),
-            is_heading=ob.tag in _HEADINGS,
-            in_nav_footer=ob.in_nav,
-        ))
+            ob.first_pos,  # temporary block_id: re-numbered in doc order
+            ob.tag, ob.tag_path, ob.depth, text,
+            len(text), len(link_text), len(words),
+            sum(map(text.count, _PUNCT_STR)),
+            ob.tag in _HEADINGS, ob.in_nav))
 
     # -- tag events ---------------------------------------------------
     def handle_starttag(self, tag, attrs):
