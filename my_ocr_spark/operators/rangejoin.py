@@ -39,25 +39,46 @@ def band_overlap_join(
     end: str = "e",
     width: float = 128.0,
     suffix: str = "_r",
+    fuse_bits: int = 20,
 ) -> DataFrame:
     """All (left, right) rows in the same ``group`` whose [start, end)
     intervals overlap, each pair exactly once. Right-side columns are
     renamed with ``suffix``. Intervals are half-open; touching intervals
     (a.e == b.s) do not match — same convention as the hmean overlap
-    predicate."""
+    predicate.
+
+    Caller contract for the fused key: ``group`` is integral and every
+    truncated bucket index ``cast(coord / width as bigint)`` fits in a
+    signed ``fuse_bits``-bit range (|coord| < width * 2^(fuse_bits-1) —
+    half a million widths at the default), so
+    ``group * 2^fuse_bits + bucket`` is injective."""
     r = right
     for c in right.columns:
         r = r.withColumnRenamed(c, c + suffix)
     g_r, s_r, e_r = group + suffix, start + suffix, end + suffix
+    mult = 1 << fuse_bits
 
-    def bucketed(df: DataFrame, s: str, e: str, name: str) -> DataFrame:
-        return df.withColumn(name, F.explode(F.sequence(
-            (F.col(s) / width).cast("bigint"),
-            (F.col(e) / width).cast("bigint"))))
-
-    lb = bucketed(left, start, end, "_bkt")
-    rb = bucketed(r, s_r, e_r, "_bkt_r")
-    # Shuffled-hash, not sort-merge: the (group, bucket) key is
+    # One FUSED long key (group * 2^fuse_bits + bucket) instead of the
+    # (group, bucket) pair, and each side's START bucket carried as an
+    # integer column: the exactly-once test then compares two longs per
+    # candidate pair instead of re-deriving cast(greatest(s, s_r) /
+    # width as bigint) — a double divide per pair across the 325M-pair
+    # sf1.0 fixture. Fused vs two-key measured 3.6-4.0 s vs 6.0-6.8 s
+    # same-session (~40%), plus one fewer shuffle column per side.
+    # (trunc(max(s, s_r)/W) == max(trunc(s/W), trunc(s_r/W)) because
+    # truncation toward zero is monotone non-decreasing, so the integer
+    # max IS the intersection-start bucket.)
+    lb = (left.withColumn("_sb", (F.col(start) / width).cast("bigint"))
+              .withColumn("_k", F.explode(F.sequence(
+                  F.col(group) * mult + F.col("_sb"),
+                  F.col(group) * mult
+                  + (F.col(end) / width).cast("bigint")))))
+    rb = (r.withColumn("_sb_r", (F.col(s_r) / width).cast("bigint"))
+           .withColumn("_k_r", F.explode(F.sequence(
+               F.col(g_r) * mult + F.col("_sb_r"),
+               F.col(g_r) * mult
+               + (F.col(e_r) / width).cast("bigint")))))
+    # Shuffled-hash, not sort-merge: the bucket key is
     # deliberately low-cardinality-per-cell but HIGH-fanout (each cell
     # emits |A_c|x|B_c| pairs), and SMJ's pair generation iterates the
     # buffered match group through its spillable sorter row-by-row —
@@ -68,11 +89,10 @@ def band_overlap_join(
     # side is ``left`` — callers pass the smaller relation first; the
     # per-partition build memory is |left| / shuffle_partitions rows,
     # the same scale knob every shuffle here already depends on.
-    j = lb.hint("SHUFFLE_HASH").join(rb, (F.col(group) == F.col(g_r))
-                                     & (F.col("_bkt") == F.col("_bkt_r")))
+    j = lb.hint("SHUFFLE_HASH").join(rb, F.col("_k") == F.col("_k_r"))
     overlap = F.least(F.col(end), F.col(e_r)) > F.greatest(F.col(start),
                                                            F.col(s_r))
-    once = (F.col("_bkt")
-            == (F.greatest(F.col(start), F.col(s_r)) / width)
-            .cast("bigint"))
-    return j.filter(overlap & once).drop("_bkt", "_bkt_r")
+    once = ((F.col("_k") - F.col(group) * mult)
+            == F.greatest(F.col("_sb"), F.col("_sb_r")))
+    return (j.filter(overlap & once)
+             .drop("_k", "_k_r", "_sb", "_sb_r"))
