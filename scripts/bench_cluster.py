@@ -35,8 +35,11 @@ import tempfile
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/scripts")
+# repo root derived from this file's location, not hardcoded, so the
+# script (and the test that imports it) works from any checkout
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
 
 from bench_scaling import host_cpu_ceiling  # noqa: E402
 
