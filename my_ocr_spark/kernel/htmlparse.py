@@ -72,13 +72,15 @@ class Block:
 
 @dataclass(slots=True)
 class _OpenBlock:
+    # field order puts in_nav fourth so the hot block-open site can
+    # construct positionally (kwargs binding measured on the profile)
     tag: str
     tag_path: str
     depth: int
+    in_nav: bool = False  # opened under nav/header/footer/aside ancestry
     parts: list = field(default_factory=list)       # text fragments
     link_parts: list = field(default_factory=list)  # fragments inside <a>
     first_pos: int = -1  # document-order key: set when first text arrives
-    in_nav: bool = False  # opened under nav/header/footer/aside ancestry
 
 
 _PUNCT = frozenset(".,;:!?")
@@ -178,9 +180,8 @@ class _BlockParser(HTMLParser):
             else:
                 path = self._bpaths[-1] + "/" + tag
             self._bpaths.append(path)
-            self._stack.append(_OpenBlock(tag=tag, tag_path=path,
-                                          depth=len(self._tagstack),
-                                          in_nav=self._nav_depth > 0))
+            self._stack.append(_OpenBlock(tag, path, len(self._tagstack),
+                                          self._nav_depth > 0))
 
     def handle_endtag(self, tag):
         f = _TAG_FLAGS.get(tag, 0)
@@ -231,9 +232,9 @@ class _BlockParser(HTMLParser):
             return
         if not self._stack:
             # text before any block tag: synthesize an implicit body block
-            self._stack.append(_OpenBlock(tag="body", tag_path="body",
-                                          depth=len(self._tagstack),
-                                          in_nav=self._nav_depth > 0))
+            self._stack.append(_OpenBlock("body", "body",
+                                          len(self._tagstack),
+                                          self._nav_depth > 0))
         ob = self._stack[-1]
         if ob.first_pos < 0 and not data.isspace():
             ob.first_pos = self._pos

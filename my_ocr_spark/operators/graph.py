@@ -42,9 +42,15 @@ def _components_driver_side(e: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     out = [(n, find(n)) for n in parent]
-    return e.sparkSession.createDataFrame(
+    # broadcast-hint BY CONSTRUCTION: this path only runs when the
+    # symmetrized edge set is <= driver_threshold, so the label table
+    # is bounded (<= 2x threshold nodes) and consumers joining it back
+    # to a corpus-sized table get a broadcast join instead of
+    # shuffling the big side (SemDeDup's final keep join was a
+    # SortMergeJoin over two exchanges without it)
+    return F.broadcast(e.sparkSession.createDataFrame(
         out, schema=e.select(F.col("a").alias("node"),
-                             F.col("b").alias("component")).schema)
+                             F.col("b").alias("component")).schema))
 
 
 def connected_components(edges: DataFrame, src: str = "src",
