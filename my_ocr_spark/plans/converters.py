@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from my_ocr_spark.plans.registry import query, t
+from my_ocr_spark.session import spread_small_scan
 
 # shared construction of the raw gt line (identical on both engines)
 _LINE_SQL = """
@@ -85,7 +86,13 @@ def icdar_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion swaps the synthesis CTE for ``spark.read.text`` over the
     gt files (LoaderParsertxt, sources/loaders.py) and keeps everything
     downstream unchanged."""
-    li = t(spark, sf_dir, "lineitem")
+    # spread the 1-3-split fixture scan: the synthesis/parse chains
+    # below are interpreted HOF expressions (no codegen), so an
+    # unspread scan runs them on 1-3 of 32 cores (invariant 5; the
+    # projection is pushed below the round-robin exchange, so only
+    # the referenced columns shuffle). Cost-modeled no-op at corpus
+    # scale where the scan is already wide.
+    li = spread_small_scan(t(spark, sf_dir, "lineitem"))
     raw = li.select(
         "l_orderkey", "l_linenumber",
         (F.col("l_orderkey") % 997).alias("x0"),
@@ -210,7 +217,13 @@ def ctw1500_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transcription. Parse: split → 28 casts → cyclic shoelace over
     the 14-gon → bounds bbox; '####' stripped for the transcription.
     Same parse in DuckDB SQL verifies the string→geometry path."""
-    li = t(spark, sf_dir, "lineitem")
+    # spread the 1-3-split fixture scan: the synthesis/parse chains
+    # below are interpreted HOF expressions (no codegen), so an
+    # unspread scan runs them on 1-3 of 32 cores (invariant 5; the
+    # projection is pushed below the round-robin exchange, so only
+    # the referenced columns shuffle). Cost-modeled no-op at corpus
+    # scale where the scan is already wide.
+    li = spread_small_scan(t(spark, sf_dir, "lineitem"))
     raw = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("poly_id"),
         F.col("l_orderkey").alias("k"),
@@ -350,7 +363,13 @@ def totaltext_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds → XYWH bbox and cyclic shoelace area — the COCO conversion
     (:139-155). Both engines parse the same synthesized lines; a real
     run swaps the synthesis for spark.read.text over the gt files."""
-    li = t(spark, sf_dir, "lineitem")
+    # spread the 1-3-split fixture scan: the synthesis/parse chains
+    # below are interpreted HOF expressions (no codegen), so an
+    # unspread scan runs them on 1-3 of 32 cores (invariant 5; the
+    # projection is pushed below the round-robin exchange, so only
+    # the referenced columns shuffle). Cost-modeled no-op at corpus
+    # scale where the scan is already wide.
+    li = spread_small_scan(t(spark, sf_dir, "lineitem"))
     raw = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("poly_id"),
         F.col("l_orderkey").alias("k"),
@@ -364,6 +383,17 @@ def totaltext_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.concat(F.lit("w"),
                              F.col("l_linenumber").cast("string")))
          .alias("word"))
+    # Filter on the RAW synthesis terms instead of the parsed arrays:
+    # the parsed-value predicate (size(xs) > 2 AND parsed word != '#')
+    # was pushed below the spread exchange and re-evaluated the whole
+    # synthesis+regex+transform chain on the 1-3-split scan (measured:
+    # 12.5 s with the pre-exchange stage pinned at 3 tasks; ~1.5 s
+    # after). Provably the identical set: size(xs) = 2m by construction
+    # (_TT_XS_SPARK concats two m-length arrays), so size(xs) > 2 <=>
+    # m > 1; and the transcription regex round-trips ``word`` verbatim,
+    # so parsed word != '#' <=> raw word != '#'. Oracle re-verified
+    # hash-exact at sf0.01/0.1/1.0.
+    raw = raw.filter((F.col("m") > 1) & (F.col("word") != "#"))
     lines = raw.select(
         "poly_id",
         F.expr(
@@ -383,7 +413,7 @@ def totaltext_convert_coco(spark: SparkSession, sf_dir: str) -> DataFrame:
                " concat('transcriptions: \\\\[u', chr(39),"
                " '([^', chr(39), ']*)', chr(39), '\\\\]'), 1)")
             .alias("word"))
-    kept = parsed.filter((F.size("xs") > 2) & (F.col("word") != "#"))
+    kept = parsed
     shoelace2 = F.expr(
         "aggregate(transform(sequence(0, size(xs) - 1), i ->"
         " element_at(xs, i + 1)"
@@ -464,7 +494,13 @@ def textocr_convert_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'path text' label line (list_to_file format). The JSON parse is
     the operator under test; a real run reads the annotation file with
     spark.read.json and keeps everything downstream."""
-    li = t(spark, sf_dir, "lineitem")
+    # spread the 1-3-split fixture scan: the synthesis/parse chains
+    # below are interpreted HOF expressions (no codegen), so an
+    # unspread scan runs them on 1-3 of 32 cores (invariant 5; the
+    # projection is pushed below the round-robin exchange, so only
+    # the referenced columns shuffle). Cost-modeled no-op at corpus
+    # scale where the scan is already wide.
+    li = spread_small_scan(t(spark, sf_dir, "lineitem"))
     raw = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("poly_id"),
         F.col("l_orderkey").alias("img"),
@@ -477,6 +513,14 @@ def textocr_convert_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.concat(F.lit("w"),
                              (F.col("l_partkey") % 100).cast("string")))
          .alias("word"))
+    # Filter the illegible marker on the RAW word, not the JSON-parsed
+    # txt: the parsed-value predicate was pushed below the spread
+    # exchange and re-ran the JSON synthesis + from_json on the
+    # 1-3-split scan (same class as totaltext above). Identical set:
+    # utf8_string round-trips ``word`` verbatim through the JSON
+    # (values are '.' or 'w<digits>' — no escaping). Oracle
+    # re-verified hash-exact at sf0.01/0.1/1.0.
+    raw = raw.filter(F.col("word") != ".")
     js = raw.select(
         "poly_id", "img",
         F.expr(_TO_JSON_SQL.replace(" AS VARCHAR", " AS STRING"))
@@ -490,8 +534,7 @@ def textocr_convert_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("a.bbox[0]").alias("x"), F.expr("a.bbox[1]").alias("y"),
         F.expr("a.bbox[2]").alias("w"), F.expr("a.bbox[3]").alias("h"),
         F.col("a.utf8_string").alias("txt"))
-    return (p.filter(F.col("txt") != ".")
-             .select("poly_id",
+    return (p.select("poly_id",
                      F.greatest(F.lit(0), F.floor("x"))
                       .cast("int").alias("crop_x"),
                      F.greatest(F.lit(0), F.floor("y"))
@@ -610,7 +653,13 @@ def synthtext_convert_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 points per char per edge). Bounds bbox + cyclic shoelace area
     finish the COCO row. All arithmetic integer; same derivation in
     DuckDB SQL."""
-    li = t(spark, sf_dir, "lineitem")
+    # spread the 1-3-split fixture scan: the synthesis/parse chains
+    # below are interpreted HOF expressions (no codegen), so an
+    # unspread scan runs them on 1-3 of 32 cores (invariant 5; the
+    # projection is pushed below the round-robin exchange, so only
+    # the referenced columns shuffle). Cost-modeled no-op at corpus
+    # scale where the scan is already wide.
+    li = spread_small_scan(t(spark, sf_dir, "lineitem"))
     raw = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("inst_id"),
         F.col("l_orderkey").alias("k"),

@@ -403,10 +403,17 @@ def poly_iou_match_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the closed-form DuckDB oracle — no float rounding
     anywhere."""
     from my_ocr_spark.kernel import polyclip as pc
+    from my_ocr_spark.session import spread_small_scan
 
     gt, pred = _quad_tables(spark, sf_dir)
+    # spread the probe side: the gt side broadcasts, so the join AND
+    # the clip stage below it execute in the probe scan's own stage —
+    # a 1-2-split fixture scan ran the 1.3M-pair Sutherland-Hodgman
+    # kernel on 2 of 32 cores (measured 7.6 s; ~1 s after; the kernel
+    # itself does 0.21M pairs/s/core). Cost-modeled no-op at corpus
+    # scale (invariant 5).
     g = gt.alias("g")
-    p = pred.alias("p")
+    p = spread_small_scan(pred).alias("p")
     cond = ((F.col("g.img") == F.col("p.img"))
             & (F.least("g.x1", "p.x1") > F.greatest("g.x0", "p.x0"))
             & (F.least("g.y1", "p.y1") > F.greatest("g.y0", "p.y0")))
