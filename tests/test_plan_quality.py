@@ -257,3 +257,30 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     plan = _physical_plan(decontaminate_ngrams(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_round7_spread_and_filter_pushdown_gates(spark, sf_dir):
+    """Round-7 fault classes, pinned: (1) the converters / clip-join /
+    levenshtein queries run heavy per-row work (interpreted HOFs, O(n^2)
+    edit distance, the clip kernel) that must sit ABOVE the cost-modeled
+    round-robin spread — an unspread 1-3-split fixture scan serialized
+    them onto 1-3 of 32 cores; (2) Catalyst must not have re-substituted
+    an expensive parse chain (regexp_extract / from_json) into a filter
+    pushed below the exchange into the scan's DataFilters (totaltext
+    measured 12.5 s with the whole synthesis+regex chain re-running
+    pre-exchange)."""
+    from my_ocr_spark.plans import converters as C
+    from my_ocr_spark.plans.geometry import poly_iou_match_2d
+    from my_ocr_spark.plans.textpipe import ocr_word_acc_metrics
+
+    for q in (C.icdar_convert_coco, C.ctw1500_convert_coco,
+              C.totaltext_convert_coco, C.textocr_convert_labels,
+              C.synthtext_convert_boundary, poly_iou_match_2d,
+              ocr_word_acc_metrics):
+        plan = _physical_plan(q(spark, sf_dir))
+        assert "Exchange RoundRobinPartitioning" in plan, \
+            (q.__name__, plan)
+        for line in plan.splitlines():
+            if "Scan parquet" in line or "FileScan" in line:
+                assert "regexp_extract" not in line, (q.__name__, line)
+                assert "from_json" not in line, (q.__name__, line)
