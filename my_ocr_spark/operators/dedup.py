@@ -202,9 +202,17 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_perm: int = 32, bands: int = 8,
                            shingle_k: int = 3,
-                           bucket_cap: int | None = 512) -> DataFrame:
+                           bucket_cap: int | None = 512,
+                           persist_bands: bool = True) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
     Shuffle keyed on (band, band_hash).
+
+    ``persist_bands`` is the unpersist path for the band-row cache
+    below (same contract as ``persist_postings``): callers processing
+    many corpora in one long-lived session should either pass False or
+    call ``spark.catalog.clearCache()`` between corpora — the cache is
+    keyed on the input plan, so each distinct corpus otherwise pins a
+    new entry for the session lifetime.
 
     ``bucket_cap`` is the enforced skew bound: a (band, band_hash) bucket
     of n docs yields n² candidate rows — identical boilerplate pages form
@@ -228,7 +236,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     # cached relation is ~20 B x bands per multi-KB document (<3% of
     # corpus bytes, MEMORY_AND_DISK spills) vs FOUR signature passes
     # over the full text — the same trade minhash_then_verify makes.
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_bands:
+        rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     if bucket_cap is not None:
         hot = (rows.groupBy("band", "band_hash")
                    .agg(F.count("*").alias("n_"))
@@ -343,16 +352,22 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      persist_hashes: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit bands guarantee any pair with
     hamming<=3 shares a band (pigeonhole); exact hamming verify after the
-    band join. Classic Manku/Google simhash dedup layout."""
+    band join. Classic Manku/Google simhash dedup layout.
+
+    ``persist_hashes``: unpersist path for the simhash cache (same
+    contract as ``persist_bands`` on minhash_lsh_candidates — pass False
+    or clearCache between corpora in long-lived sessions)."""
     sh = simhash_docs(df, id_col, text_col)
     # two longs per doc, but the mapInPandas above runs simhash64 over
     # every document's full text — and the self-join below otherwise
     # executes that pass TWICE (pruned copies, no ReuseExchange; same
     # recompute class as minhash_lsh_candidates, measured there 2.6x)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_hashes:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sh.select(
         "doc", "simhash",
         F.explode(F.array(*[

@@ -1,5 +1,7 @@
 """Loader/parser sources: positional split, quarantine, jsonl."""
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql import types as T
 
@@ -153,6 +155,7 @@ def test_spark_submit_pyfiles_end_to_end(spark, docs_df, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_standalone_cluster_end_to_end(spark, docs_df, tmp_path):
     """The north_rule's literal shape, minus the extra machines: a REAL
     standalone master + 2 separate worker JVMs (one executor each), the
@@ -162,14 +165,21 @@ def test_standalone_cluster_end_to_end(spark, docs_df, tmp_path):
     output must match the in-process run byte-for-byte (url → md5(text)).
     scripts/bench_cluster.py uses the same Cluster harness to measure
     scaling at 2 vs 8 executors; this test pins correctness of that
-    topology permanently. Non-default ports so it can run beside a live
-    bench ladder."""
+    topology permanently. Ports are picked dynamically (bind :0, then
+    release) so it can run beside a live bench ladder or a concurrent
+    pytest process without colliding on fixed constants."""
     import os
+    import socket
     import subprocess
 
     if not os.path.exists("/opt/spark/bin/spark-class"):
         import pytest
         pytest.skip("no standalone spark-class scripts in container")
+
+    def _free_port() -> int:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
 
     from scripts.bench_cluster import SPARK_SUBMIT, Cluster, _clean_env
     from scripts.make_pyfiles import build
@@ -192,8 +202,9 @@ def test_standalone_cluster_end_to_end(spark, docs_df, tmp_path):
         "ex.select('url', F.md5('text').alias('h'))"
         ".repartition(4).write.parquet(sys.argv[2])\n"
         "spark.stop()\n")
-    with Cluster(2, str(tmp_path / "cluster"), master_port=7177,
-                 ui_port=4190, cores_per_worker=2, memory="2g") as c:
+    with Cluster(2, str(tmp_path / "cluster"), master_port=_free_port(),
+                 ui_port=_free_port(), cores_per_worker=2,
+                 memory="2g") as c:
         p = subprocess.run(
             [SPARK_SUBMIT, "--master", c.master_url,
              "--conf", "spark.executor.cores=2",
